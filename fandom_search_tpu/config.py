@@ -1,0 +1,116 @@
+"""Typed configuration for the whole pipeline.
+
+The reference hard-codes its knobs in source (shingle width 6, distance /
+verification thresholds; SURVEY.md section 6 "Config / flag system").  Here every
+knob is a frozen dataclass so configs hash, compare, and thread cleanly
+through jitted functions as static arguments.  Defaults reproduce the
+reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ShingleConfig:
+    """How text becomes fixed-width dense vectors on device.
+
+    The reference maps each word of a 6-word shingle to a numeric hash so
+    the shingle is a 6-dim point in metric space (SURVEY.md section 3,
+    "Shingler + hash vectorizer"; BASELINE.json:5 "n-gram shingles ...
+    hashed into dense vectors").  The TPU-native upgrade: each
+    (position, word) pair is expanded into a pseudo-random +-1 vector of
+    ``dim`` lanes (derived from a 32-bit hash, reproducible on host and
+    device), and the shingle embedding is their sum.  Then
+
+        dot(e_q, e_s) / dim  ~=  #positions where the two shingles agree
+
+    with noise O(n/sqrt(dim)), so candidate search is a single bf16/int8
+    matmul on the MXU instead of a BallTree walk.
+    """
+
+    n: int = 6              # words per shingle (reference: 6)
+    dim: int = 128          # embedding lanes; 128 = one TPU lane tile
+    seed: int = 0x5EED      # salt for all hashing; shared host/device
+    sign_rounds: int = 4    # dim/32 rounds of 32 sign bits each
+
+    def __post_init__(self) -> None:
+        if self.dim != 32 * self.sign_rounds:
+            raise ValueError(
+                f"dim ({self.dim}) must equal 32 * sign_rounds "
+                f"({32 * self.sign_rounds})"
+            )
+        if self.n < 1:
+            raise ValueError("shingle width must be >= 1")
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Candidate generation + verification + chaining knobs.
+
+    ``candidate_threshold`` is in units of *matching words out of n*
+    (the reference's distance radius, re-expressed in the embedding's
+    similarity scale).  ``verify_threshold`` mirrors the reference's
+    Levenshtein-ratio cutoff (SURVEY.md section 3 "Verifier").
+    """
+
+    k: int = 10                      # top-k neighbors per query shingle
+    candidate_threshold: float = 3.5  # min est. matching words (of n)
+    verify_threshold: float = 0.35    # min normalized alignment score
+    window_tokens: int = 64          # fan-side context window for verify
+    max_line_tokens: int = 64        # script line truncation for verify
+    chain_gap: int = 12              # max token gap when chaining hits
+    batch_queries: int = 1 << 17     # query shingles per device call
+    script_pad_multiple: int = 512   # script shingles padded to multiple
+    # Smith-Waterman scoring (word-level local alignment)
+    sw_match: float = 2.0
+    sw_mismatch: float = -1.0
+    sw_gap: float = -1.0
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """Random-projection sign-bit prefilter (BASELINE.json:11).
+
+    ``bits`` sign bits per shingle, packed 32/uint32.  Stage 1 ranks by
+    Hamming similarity of packed codes; stage 2 exactly re-scores the
+    ``rerank`` best.  Tuned so recall@10 vs the exact kernel stays
+    >= 0.99 (BASELINE.md targets).
+    """
+
+    bits: int = 256
+    rerank: int = 64     # candidates kept per query for exact re-score
+    seed: int = 0xB175
+
+    def __post_init__(self) -> None:
+        if self.bits % 32 != 0:
+            raise ValueError("bits must be a multiple of 32")
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Multi-chip layout (SURVEY.md section 3 parallelism table).
+
+    axis ``works``: fanwork (query) shingles are sharded — pure data
+    parallelism over the corpus.  axis ``script``: source-script shingles
+    are sharded — each device sees a slice of the index and per-shard
+    top-k results are merged with an all_gather + re-top-k collective
+    over ICI (BASELINE.json:10).
+    """
+
+    works: int = 1
+    script: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.works * self.script
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    shingle: ShingleConfig = dataclasses.field(default_factory=ShingleConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    lsh: LSHConfig = dataclasses.field(default_factory=LSHConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

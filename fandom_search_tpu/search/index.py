@@ -1,0 +1,97 @@
+"""Script-side index: tokenized lines, shingle stream, embeddings.
+
+The reference builds a BallTree over the script's shingle matrix
+(SURVEY.md section 2 layer L3).  Here the "index" is the raw material the
+TPU kernels consume: an HBM-resident embedding matrix plus the
+shingle -> script-line attribution table and per-line token matrices
+for on-device verification.
+
+Design choice vs the reference: the script is shingled as ONE token
+stream (with a token -> line map) rather than per line, so lines
+shorter than the shingle width still participate via shingles that
+cross line boundaries; attribution uses the line of the shingle's
+middle token.  Verification then checks the fan window against the
+attributed line's exact tokens, which restores per-line precision.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+from fandom_search_tpu.config import SearchConfig, ShingleConfig
+from fandom_search_tpu.data.script_parser import ScriptLine
+from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
+from fandom_search_tpu.data.shingler import embed_shingles_np, shingle_hashes
+
+
+@dataclass
+class ScriptIndex:
+    lines: List[ScriptLine]
+    tokenized: List[Tokenized]          # per line
+    stream_hashes: np.ndarray           # uint32[T] all line tokens, in order
+    token_line: np.ndarray              # int32[T] line_no per stream token
+    shingle_line: np.ndarray            # int32[NS] attributed line per shingle
+    shingle_windows: np.ndarray         # uint32[NS, n] raw shingle word hashes
+    embeddings: np.ndarray              # int8[NS, dim]
+    line_tokens: np.ndarray             # uint32[L, max_line_tokens] padded
+    line_lengths: np.ndarray            # int32[L] true token counts (clipped)
+
+    @property
+    def num_shingles(self) -> int:
+        return int(self.embeddings.shape[0])
+
+    def line_text(self, line_no: int) -> str:
+        return self.lines[line_no].text
+
+    def speaker(self, line_no: int) -> str:
+        return self.lines[line_no].speaker
+
+
+def build_script_index(
+    lines: Sequence[ScriptLine],
+    shingle_cfg: ShingleConfig,
+    search_cfg: SearchConfig,
+) -> ScriptIndex:
+    tokenized = [tokenize(ln.text) for ln in lines]
+    hashes = [t.hashes for t in tokenized]
+    stream = (
+        np.concatenate(hashes)
+        if hashes
+        else np.zeros((0,), dtype=np.uint32)
+    )
+    token_line = np.concatenate(
+        [np.full(len(t), ln.line_no, dtype=np.int32) for t, ln in zip(tokenized, lines)]
+    ) if tokenized else np.zeros((0,), dtype=np.int32)
+
+    windows = shingle_hashes(stream, shingle_cfg)          # [NS, n]
+    emb = embed_shingles_np(stream, shingle_cfg)           # [NS, dim]
+    ns = windows.shape[0]
+    mid = shingle_cfg.n // 2
+    shingle_line = (
+        token_line[mid : mid + ns].astype(np.int32)
+        if ns
+        else np.zeros((0,), dtype=np.int32)
+    )
+
+    max_lt = search_cfg.max_line_tokens
+    line_tokens = np.zeros((len(lines), max_lt), dtype=np.uint32)
+    line_lengths = np.zeros((len(lines),), dtype=np.int32)
+    for i, t in enumerate(tokenized):
+        m = min(len(t), max_lt)
+        line_tokens[i, :m] = t.hashes[:m]
+        line_lengths[i] = m
+
+    return ScriptIndex(
+        lines=list(lines),
+        tokenized=tokenized,
+        stream_hashes=stream,
+        token_line=token_line,
+        shingle_line=shingle_line,
+        shingle_windows=windows,
+        embeddings=emb,
+        line_tokens=line_tokens,
+        line_lengths=line_lengths,
+    )

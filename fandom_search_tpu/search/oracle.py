@@ -1,0 +1,128 @@
+"""CPU oracle — the reference algorithm, pure NumPy, no JAX.
+
+This is build-plan step 1 (SURVEY.md section 8): the correctness reference
+and the baseline timer for every TPU component.  It reproduces the
+reference pipeline (SURVEY.md section 4.2) with the same candidate semantics
+as the device path:
+
+  shingle+embed -> brute-force dot scores -> per-query top-k ->
+  threshold -> Smith-Waterman verify -> chain -> MatchRows
+
+BASELINE.json:7 names this configuration explicitly: "cosine brute
+force (CPU ref)".
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from fandom_search_tpu.config import PipelineConfig
+from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
+from fandom_search_tpu.data.shingler import embed_shingles_np
+from fandom_search_tpu.search.chain import chain_hits
+from fandom_search_tpu.search.common import verify_window
+from fandom_search_tpu.search.index import ScriptIndex
+from fandom_search_tpu.search.types import CandidateHit, MatchRow
+from fandom_search_tpu.search.verify_np import sw_normalized_np
+
+
+@dataclass
+class OracleStats:
+    num_query_shingles: int = 0
+    num_candidates: int = 0
+    num_verified: int = 0
+    seconds_topk: float = 0.0
+    seconds_verify: float = 0.0
+    per_stage: Dict[str, float] = field(default_factory=dict)
+
+
+def topk_scores_np(
+    query_emb: np.ndarray,   # int8 [NQ, dim]
+    index_emb: np.ndarray,   # int8 [NS, dim]
+    k: int,
+    dim: int,
+    block: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact per-query top-k of dot/dim scores. Returns (vals, idx).
+
+    Blocked over queries so the full [NQ, NS] matrix never materializes
+    (mirrors the device kernel's tiling).  Ties broken by lower index,
+    matching the device kernel's merge rule.
+    """
+    nq, ns = query_emb.shape[0], index_emb.shape[0]
+    k_eff = min(k, ns)
+    vals = np.full((nq, k), -np.inf, dtype=np.float32)
+    idxs = np.zeros((nq, k), dtype=np.int32)
+    if ns == 0 or nq == 0:
+        return vals, idxs
+    st = index_emb.astype(np.int32).T
+    for q0 in range(0, nq, block):
+        q1 = min(nq, q0 + block)
+        scores = query_emb[q0:q1].astype(np.int32) @ st  # [b, NS]
+        scores_f = scores.astype(np.float32) / dim
+        # argpartition gives k best; stable sort by (-score, index) for ties
+        part = np.argpartition(-scores_f, k_eff - 1, axis=1)[:, :k_eff]
+        pv = np.take_along_axis(scores_f, part, axis=1)
+        order = np.lexsort((part, -pv), axis=1)
+        part = np.take_along_axis(part, order, axis=1)
+        pv = np.take_along_axis(pv, order, axis=1)
+        vals[q0:q1, :k_eff] = pv
+        idxs[q0:q1, :k_eff] = part.astype(np.int32)
+    return vals, idxs
+
+
+def search_works_oracle(
+    works: Dict[str, str] | Dict[str, Tokenized],
+    index: ScriptIndex,
+    cfg: PipelineConfig,
+) -> Tuple[List[MatchRow], OracleStats]:
+    """Full oracle search of {work_id: text-or-Tokenized} against a script."""
+    stats = OracleStats()
+    scfg, xcfg = cfg.shingle, cfg.search
+    tokenized: Dict[str, Tokenized] = {
+        wid: (t if isinstance(t, Tokenized) else tokenize(t))
+        for wid, t in works.items()
+    }
+
+    hits: List[CandidateHit] = []
+    for wid, tk in sorted(tokenized.items()):
+        nq = max(0, len(tk) - scfg.n + 1)
+        if nq == 0 or index.num_shingles == 0:
+            continue
+        stats.num_query_shingles += nq
+        emb = embed_shingles_np(tk.hashes, scfg)
+
+        t0 = time.perf_counter()
+        vals, idxs = topk_scores_np(emb, index.embeddings, xcfg.k, scfg.dim)
+        stats.seconds_topk += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cand = np.nonzero(vals >= xcfg.candidate_threshold)
+        # Dedup (fan_pos, line) pairs: several top-k script shingles can
+        # attribute to the same line.
+        seen: Dict[Tuple[int, int], float] = {}
+        for qi, kj in zip(*cand):
+            line = int(index.shingle_line[idxs[qi, kj]])
+            key = (int(qi), line)
+            s = float(vals[qi, kj])
+            if key not in seen or s > seen[key]:
+                seen[key] = s
+        stats.num_candidates += len(seen)
+
+        for (fan_pos, line), score in seen.items():
+            a0, a1 = verify_window(fan_pos, len(tk), scfg, xcfg)
+            a = tk.hashes[a0:a1]
+            blen = int(index.line_lengths[line])
+            b = index.line_tokens[line, :blen]
+            v = sw_normalized_np(a, b, xcfg)
+            if v >= xcfg.verify_threshold:
+                stats.num_verified += 1
+                hits.append(CandidateHit(wid, int(fan_pos), line, score, v))
+        stats.seconds_verify += time.perf_counter() - t0
+
+    rows = chain_hits(hits, tokenized, index, scfg, xcfg)
+    return rows, stats

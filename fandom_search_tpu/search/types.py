@@ -1,0 +1,57 @@
+"""Shared result types (the reference's CSV row schema, SURVEY.md section 3)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CandidateHit:
+    """One verified (fan shingle, script line) hit, pre-chaining."""
+
+    work_id: str
+    fan_pos: int          # token index of the shingle start in the fanwork
+    line_no: int          # script line record index
+    score: float          # estimated matching words (candidate stage)
+    verify_score: float   # normalized local-alignment similarity
+
+
+@dataclass(frozen=True)
+class MatchRow:
+    """One chained match span — a row of the output CSV.
+
+    Field set mirrors the reference's reporter (SURVEY.md section 3, "CSV
+    reporter": fanwork id, fan span, script line no, speaker, matched
+    text(s), distance/ratio scores).
+    """
+
+    work_id: str
+    fan_token_start: int
+    fan_token_end: int    # exclusive
+    fan_char_start: int
+    fan_char_end: int
+    fan_text: str
+    line_no: int
+    speaker: str
+    script_text: str
+    score: float          # best candidate score within the span
+    verify_score: float   # best verification score within the span
+    num_shingles: int     # shingle hits merged into this span
+
+    CSV_FIELDS = (
+        "work_id",
+        "fan_token_start",
+        "fan_token_end",
+        "fan_char_start",
+        "fan_char_end",
+        "fan_text",
+        "line_no",
+        "speaker",
+        "script_text",
+        "score",
+        "verify_score",
+        "num_shingles",
+    )
+
+    def to_csv_row(self):
+        return [getattr(self, f) for f in self.CSV_FIELDS]

@@ -1,0 +1,66 @@
+import numpy as np
+import pytest
+
+from fandom_search_tpu.ops.distance_topk import topk_dot, topk_dot_jnp
+from fandom_search_tpu.search.oracle import topk_scores_np
+
+K, DIM = 10, 128
+
+
+def _rand_emb(rng, n):
+    return rng.integers(-6, 7, size=(n, DIM)).astype(np.int8)
+
+
+def _check_against_oracle(vals, idx, q, s):
+    """vals must equal oracle vals exactly; idx must be score-consistent."""
+    ovals, _ = topk_scores_np(q, s, K, DIM)
+    np.testing.assert_allclose(np.asarray(vals), ovals, atol=1e-6)
+    full = q.astype(np.int32) @ s.astype(np.int32).T / DIM
+    picked = np.take_along_axis(full, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(picked, np.asarray(vals), atol=1e-6)
+
+
+def test_jnp_matches_oracle(rng):
+    q, s = _rand_emb(rng, 100), _rand_emb(rng, 300)
+    vals, idx = topk_dot_jnp(q, s, K, DIM)
+    _check_against_oracle(vals, idx, q, s)
+
+
+def test_pallas_matches_oracle_aligned(rng):
+    q, s = _rand_emb(rng, 512), _rand_emb(rng, 1024)
+    vals, idx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
+    _check_against_oracle(vals, idx, q, s)
+
+
+def test_pallas_matches_oracle_ragged(rng):
+    # Unaligned sizes exercise padding + the ns_valid mask.
+    q, s = _rand_emb(rng, 300), _rand_emb(rng, 777)
+    vals, idx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
+    assert vals.shape == (300, K)
+    _check_against_oracle(vals, idx, q, s)
+
+
+def test_pallas_multi_s_tile_merge(rng):
+    # >2 script tiles so the running merge really accumulates.
+    q, s = _rand_emb(rng, 256), _rand_emb(rng, 2048 + 100)
+    vals, idx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
+    _check_against_oracle(vals, idx, q, s)
+
+
+def test_pallas_duplicate_rows_ties(rng):
+    # Duplicate script shingles -> exact score ties; vals must still match.
+    s_half = _rand_emb(rng, 256)
+    s = np.concatenate([s_half, s_half], axis=0)
+    q = s_half[:64]
+    vals, idx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
+    _check_against_oracle(vals, idx, q, s)
+    # self-match must be in the top-k of each query (huge self-dot)
+    self_scores = (q.astype(np.int32) * q.astype(np.int32)).sum(1) / DIM
+    assert np.allclose(np.asarray(vals)[:, 0], self_scores)
+
+
+def test_empty_inputs():
+    q = np.zeros((0, DIM), dtype=np.int8)
+    s = np.zeros((5, DIM), dtype=np.int8)
+    vals, idx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
+    assert vals.shape == (0, K) and idx.shape == (0, K)
