@@ -1,0 +1,236 @@
+"""Batched wavefront Smith-Waterman — the Levenshtein replacement.
+
+The reference verifies each candidate pair with a C-extension
+Levenshtein ratio on strings (SURVEY.md section 4.2 HOT LOOP 2).  The TPU
+build verifies at the word level: local alignment of a fan-side token
+window against the attributed script line's tokens, entirely on-chip
+(BASELINE.json:9 "wavefront (anti-diagonal) Pallas Smith-Waterman").
+
+Vectorization (SURVEY.md section 8 "Smith-Waterman on a vector machine"):
+one alignment is a tiny awkward DP, so the kernel batches MANY pairs —
+batch across sublanes, script position j across lanes, and the
+anti-diagonal wavefront d = i + j advances in a fori_loop.  Per step,
+for the whole [TB, LB] tile:
+
+    H_d[j] = max(0, H_{d-2}[j-1] + sub(d-j, j),
+                    H_{d-1}[j]   + gap,
+                    H_{d-1}[j-1] + gap)
+
+All shifts are lane-rolls; a's anti-diagonal slice is maintained
+incrementally (roll + inject a[d] at lane 0), so there is no gather.
+
+Outputs a normalized score: best / (match * min(len_a, len_b)) — 1.0
+when the shorter side is contained exactly.  Semantics are bit-matched
+by three implementations: NumPy (search/verify_np.py), jnp lax.scan
+(``sw_normalized_jnp``), and the Pallas kernel (``sw_normalized_pallas``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fandom_search_tpu.config import SearchConfig
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# jnp reference path (lax.scan over anti-diagonals) — runs anywhere
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
+def _sw_best_jnp(a, b, len_a, len_b, *, match, mismatch, gap):
+    """a: uint32 [B, LA], b: uint32 [B, LB] -> best score f32 [B]."""
+    bsz, la = a.shape
+    lb = b.shape[1]
+    j_ids = jnp.arange(lb, dtype=jnp.int32)[None, :]            # [1, LB]
+    valid_j = j_ids < len_b[:, None]                             # [B, LB]
+
+    def shift_right(x):
+        return jnp.pad(x, ((0, 0), (1, 0)))[:, :-1]
+
+    def step(carry, d):
+        h_prev, h_prevprev, a_diag, best = carry
+        # a_diag[j] should hold a[d - j]; roll right and inject a[:, d].
+        a_col = jnp.take_along_axis(
+            a, jnp.minimum(d, la - 1)[None, None].astype(jnp.int32)
+            .repeat(bsz, axis=0), axis=1
+        )                                                        # [B, 1]
+        a_diag = shift_right(a_diag)
+        a_diag = a_diag.at[:, 0].set(jnp.where(d < la, a_col[:, 0], jnp.uint32(0)))
+
+        i_ids = d - j_ids                                        # [1, LB]
+        valid = (i_ids >= 0) & (i_ids < len_a[:, None]) & valid_j
+
+        sub = jnp.where(a_diag == b, match, mismatch)
+        h = jnp.maximum(
+            shift_right(h_prevprev) + sub,
+            jnp.maximum(shift_right(h_prev), h_prev) + gap,
+        )
+        h = jnp.maximum(h, 0.0)
+        h = jnp.where(valid, h, 0.0)
+        best = jnp.maximum(best, h)
+        return (h, h_prev, a_diag, best), None
+
+    init = (
+        jnp.zeros((bsz, lb), jnp.float32),
+        jnp.zeros((bsz, lb), jnp.float32),
+        jnp.full((bsz, lb), 0xFFFFFFFF, dtype=jnp.uint32),
+        jnp.zeros((bsz, lb), jnp.float32),
+    )
+    steps = jnp.arange(la + lb - 1, dtype=jnp.int32)
+    (_, _, _, best), _ = jax.lax.scan(step, init, steps)
+    return jnp.max(best, axis=1)
+
+
+def sw_normalized_jnp(a, b, len_a, len_b, cfg: SearchConfig):
+    best = _sw_best_jnp(
+        jnp.asarray(a, jnp.uint32),
+        jnp.asarray(b, jnp.uint32),
+        jnp.asarray(len_a, jnp.int32),
+        jnp.asarray(len_b, jnp.int32),
+        match=cfg.sw_match,
+        mismatch=cfg.sw_mismatch,
+        gap=cfg.sw_gap,
+    )
+    denom = cfg.sw_match * jnp.maximum(
+        1, jnp.minimum(jnp.asarray(len_a), jnp.asarray(len_b))
+    ).astype(jnp.float32)
+    return best / denom
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _sw_kernel(
+    a_ref,      # VMEM [TB, LA] uint32 (pad tokens arbitrary; masked by len)
+    b_ref,      # VMEM [TB, LB] uint32
+    lena_ref,   # VMEM [TB, 1] int32
+    lenb_ref,   # VMEM [TB, 1] int32
+    out_ref,    # VMEM [TB, 1] f32 — normalized score
+    *,
+    la: int,
+    lb: int,
+    match: float,
+    mismatch: float,
+    gap: float,
+):
+    tb = a_ref.shape[0]
+    len_a = lena_ref[:]                                          # [TB, 1]
+    len_b = lenb_ref[:]
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, lb), 1)
+    valid_j = j_ids < len_b
+    b_tok = b_ref[:]
+    lane0 = j_ids == 0
+
+    def shift_right_f(x):
+        rolled = pltpu.roll(x, shift=1, axis=1)
+        return jnp.where(lane0, 0.0, rolled)
+
+    def step(d, carry):
+        h_prev, h_prevprev, a_diag, best = carry
+        a_col = a_ref[:, pl.ds(jnp.minimum(d, la - 1), 1)]       # [TB, 1]
+        a_diag = pltpu.roll(a_diag, shift=1, axis=1)
+        inject = jnp.logical_and(lane0, d < la)
+        a_diag = jnp.where(inject, a_col, a_diag)
+
+        i_ids = d - j_ids
+        valid = jnp.logical_and(
+            jnp.logical_and(i_ids >= 0, i_ids < len_a), valid_j
+        )
+
+        sub = jnp.where(a_diag == b_tok, match, mismatch)
+        h = jnp.maximum(
+            shift_right_f(h_prevprev) + sub,
+            jnp.maximum(shift_right_f(h_prev), h_prev) + gap,
+        )
+        h = jnp.maximum(h, 0.0)
+        h = jnp.where(valid, h, 0.0)
+        best = jnp.maximum(best, h)
+        return (h, h_prev, a_diag, best)
+
+    init = (
+        jnp.zeros((tb, lb), jnp.float32),
+        jnp.zeros((tb, lb), jnp.float32),
+        jnp.full((tb, lb), 0xFFFFFFFF, dtype=jnp.uint32),
+        jnp.zeros((tb, lb), jnp.float32),
+    )
+    _, _, _, best = jax.lax.fori_loop(0, la + lb - 1, step, init)
+    denom = match * jnp.maximum(1, jnp.minimum(len_a, len_b)).astype(jnp.float32)
+    out_ref[:] = jnp.max(best, axis=1, keepdims=True) / denom
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "tile_b", "interpret"),
+)
+def _sw_pallas_call(
+    a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret
+):
+    bsz, la = a.shape
+    lb = b.shape[1]
+    kernel = functools.partial(
+        _sw_kernel, la=la, lb=lb, match=match, mismatch=mismatch, gap=gap
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz // tile_b,),
+        in_specs=[
+            pl.BlockSpec((tile_b, la), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, lb), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bsz * la * lb,
+            bytes_accessed=bsz * (la + lb) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b, len_a, len_b)
+
+
+def sw_normalized_pallas(
+    a,
+    b,
+    len_a,
+    len_b,
+    cfg: SearchConfig,
+    *,
+    tile_b: int = 256,
+    interpret: bool = False,
+):
+    """Normalized SW scores for a batch of pairs. Pads batch to tile_b."""
+    a = jnp.asarray(a, jnp.uint32)
+    b = jnp.asarray(b, jnp.uint32)
+    len_a = jnp.asarray(len_a, jnp.int32).reshape(-1, 1)
+    len_b = jnp.asarray(len_b, jnp.int32).reshape(-1, 1)
+    bsz = a.shape[0]
+    if bsz == 0:
+        return jnp.zeros((0,), jnp.float32)
+    pad = _cdiv(bsz, tile_b) * tile_b - bsz
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, pad), (0, 0)))
+        len_a = jnp.pad(len_a, ((0, pad), (0, 0)))
+        len_b = jnp.pad(len_b, ((0, pad), (0, 0)))
+    out = _sw_pallas_call(
+        a, b, len_a, len_b,
+        match=cfg.sw_match, mismatch=cfg.sw_mismatch, gap=cfg.sw_gap,
+        tile_b=tile_b, interpret=interpret,
+    )
+    return out[:bsz, 0]

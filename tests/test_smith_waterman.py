@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+from fandom_search_tpu.config import SearchConfig
+from fandom_search_tpu.ops.smith_waterman import (
+    sw_normalized_jnp,
+    sw_normalized_pallas,
+)
+from fandom_search_tpu.search.verify_np import sw_normalized_np
+
+CFG = SearchConfig()
+LA, LB = 32, 24
+
+
+def _make_batch(rng, bsz, vocab=50):
+    a = rng.integers(1, vocab, size=(bsz, LA)).astype(np.uint32)
+    b = rng.integers(1, vocab, size=(bsz, LB)).astype(np.uint32)
+    len_a = rng.integers(1, LA + 1, size=bsz).astype(np.int32)
+    len_b = rng.integers(1, LB + 1, size=bsz).astype(np.int32)
+    # plant exact containment in some rows
+    for i in range(0, bsz, 4):
+        lb = int(len_b[i])
+        if int(len_a[i]) >= lb:
+            a[i, : lb] = b[i, :lb]
+    return a, b, len_a, len_b
+
+
+def _np_scores(a, b, len_a, len_b):
+    return np.array(
+        [
+            sw_normalized_np(a[i, : len_a[i]], b[i, : len_b[i]], CFG)
+            for i in range(a.shape[0])
+        ],
+        dtype=np.float32,
+    )
+
+
+def test_jnp_matches_numpy(rng):
+    a, b, len_a, len_b = _make_batch(rng, 16)
+    got = np.asarray(sw_normalized_jnp(a, b, len_a, len_b, CFG))
+    want = _np_scores(a, b, len_a, len_b)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_matches_numpy(rng):
+    a, b, len_a, len_b = _make_batch(rng, 64)
+    got = np.asarray(
+        sw_normalized_pallas(a, b, len_a, len_b, CFG, tile_b=32, interpret=True)
+    )
+    want = _np_scores(a, b, len_a, len_b)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_exact_containment_scores_one(rng):
+    a = rng.integers(1, 1000, size=(8, LA)).astype(np.uint32)
+    b = np.zeros((8, LB), dtype=np.uint32)
+    len_a = np.full(8, LA, dtype=np.int32)
+    len_b = np.full(8, 10, dtype=np.int32)
+    for i in range(8):
+        b[i, :10] = a[i, 5:15]
+    got = np.asarray(
+        sw_normalized_pallas(a, b, len_a, len_b, CFG, tile_b=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, np.ones(8), atol=1e-6)
+
+
+def test_disjoint_scores_zero(rng):
+    a = np.arange(1, 1 + 8 * LA, dtype=np.uint32).reshape(8, LA)
+    b = np.arange(10_000, 10_000 + 8 * LB, dtype=np.uint32).reshape(8, LB)
+    len_a = np.full(8, LA, dtype=np.int32)
+    len_b = np.full(8, LB, dtype=np.int32)
+    got = np.asarray(
+        sw_normalized_pallas(a, b, len_a, len_b, CFG, tile_b=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, np.zeros(8), atol=1e-6)
+
+
+def test_ragged_batch_padding(rng):
+    # batch size not a multiple of tile_b
+    a, b, len_a, len_b = _make_batch(rng, 37)
+    got = np.asarray(
+        sw_normalized_pallas(a, b, len_a, len_b, CFG, tile_b=16, interpret=True)
+    )
+    assert got.shape == (37,)
+    want = _np_scores(a, b, len_a, len_b)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_empty_batch():
+    out = sw_normalized_pallas(
+        np.zeros((0, LA), np.uint32),
+        np.zeros((0, LB), np.uint32),
+        np.zeros((0,), np.int32),
+        np.zeros((0,), np.int32),
+        CFG,
+        interpret=True,
+    )
+    assert out.shape == (0,)
