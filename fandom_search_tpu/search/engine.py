@@ -1,0 +1,353 @@
+"""The TPU search engine — reference `search` subcommand, device-first.
+
+Where the reference fans a process pool over fanwork files and walks a
+BallTree per shingle (SURVEY.md section 4.2), this engine:
+
+  1. concatenates a *batch* of fanworks into one fixed-size token
+     stream (static shapes; per-work offsets kept on host),
+  2. embeds every stream position on device (data/shingler.py),
+  3. runs the fused distance+top-k Pallas kernel against the
+     HBM-resident script embeddings (ops/distance_topk.py),
+  4. gathers verification windows on device and scores them with the
+     wavefront Smith-Waterman kernel (ops/smith_waterman.py),
+  5. chains surviving hits into spans on host (search/chain.py — the
+     same code path the oracle uses, so outputs are comparable).
+
+Shapes are bucketed so JIT compiles once per bucket, not per work
+(SURVEY.md section 8 "Raggedness").
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fandom_search_tpu.config import PipelineConfig
+from fandom_search_tpu.data.hashing import derive_salts
+from fandom_search_tpu.data.shingler import embed_shingles
+from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
+from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_jnp, topk_dot_pallas
+from fandom_search_tpu.ops.smith_waterman import sw_normalized_jnp, sw_normalized_pallas
+from fandom_search_tpu.search.chain import chain_hits
+from fandom_search_tpu.search.common import verify_window
+from fandom_search_tpu.search.index import ScriptIndex
+from fandom_search_tpu.search.types import CandidateHit, MatchRow
+
+
+@dataclass
+class EngineStats:
+    num_works: int = 0
+    num_query_shingles: int = 0
+    num_candidates: int = 0
+    num_verified: int = 0
+    num_batches: int = 0
+    seconds_device_topk: float = 0.0
+    seconds_device_verify: float = 0.0
+    seconds_host: float = 0.0
+    extra: Dict[str, float] = field(default_factory=dict)
+
+    @property
+    def shingle_pairs(self) -> int:
+        """Query-shingle x script-shingle pairs scored (the BASELINE metric)."""
+        return self.num_query_shingles * int(self.extra.get("ns", 0))
+
+
+def _next_pow2(n: int, floor: int) -> int:
+    v = floor
+    while v < n:
+        v *= 2
+    return v
+
+
+class SearchEngine:
+    """Index once, search many fanwork batches."""
+
+    def __init__(
+        self,
+        index: ScriptIndex,
+        cfg: PipelineConfig,
+        *,
+        use_pallas: bool = True,
+        interpret: bool = False,
+    ):
+        self.index = index
+        self.cfg = cfg
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        scfg, xcfg = cfg.shingle, cfg.search
+
+        self._salts = jnp.asarray(derive_salts(scfg.seed, scfg.n, scfg.sign_rounds))
+        s_emb = jnp.asarray(index.embeddings)
+        self._s_emb_padded, self._ns_valid = pad_rows(
+            s_emb, xcfg.script_pad_multiple
+        )
+        self._s_emb_padded = jax.device_put(self._s_emb_padded)
+        self._line_tokens = jax.device_put(jnp.asarray(index.line_tokens))
+        self._line_lengths = jnp.asarray(index.line_lengths)
+
+        self._candidates_fn = functools.partial(
+            _candidates_jit,
+            k=xcfg.k,
+            dim=scfg.dim,
+            shingle_cfg=scfg,
+            use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        self._verify_fn = functools.partial(
+            _verify_jit,
+            window=xcfg.window_tokens,
+            search_cfg=xcfg,
+            use_pallas=use_pallas,
+            interpret=interpret,
+        )
+
+    # -- batching ----------------------------------------------------------
+
+    def _batches(
+        self, tokenized: Dict[str, Tokenized]
+    ) -> Iterable[Tuple[List[str], np.ndarray, List[Tuple[str, int, int]]]]:
+        """Pack works into fixed-size token streams.
+
+        Yields (work_ids, stream uint32 [T_pad], spans) where spans is
+        [(work_id, stream_offset, num_tokens)].
+        """
+        cap = self.cfg.search.batch_queries
+        n = self.cfg.shingle.n
+        t_pad = cap + n - 1
+
+        cur: List[Tuple[str, Tokenized]] = []
+        cur_len = 0
+        for wid in sorted(tokenized):
+            tk = tokenized[wid]
+            need = len(tk)
+            if need == 0:
+                continue
+            if need > cap:
+                # Pathological work: split into overlapping chunks so no
+                # shingle is lost (overlap n-1 tokens).
+                pos = 0
+                while pos < need:
+                    end = min(need, pos + cap)
+                    piece = Tokenized(
+                        text=tk.text,
+                        tokens=tk.tokens[pos:end],
+                        offsets=tk.offsets[pos:end],
+                        hashes=tk.hashes[pos:end],
+                    )
+                    yield from self._flush([(f"{wid}\x00{pos}", piece)], t_pad)
+                    if end == need:
+                        break
+                    pos = end - (n - 1)
+                continue
+            if cur_len + need > cap and cur:
+                yield from self._flush(cur, t_pad)
+                cur, cur_len = [], 0
+            cur.append((wid, tk))
+            cur_len += need
+        if cur:
+            yield from self._flush(cur, t_pad)
+
+    @staticmethod
+    def _flush(items, t_pad):
+        stream = np.zeros((t_pad,), dtype=np.uint32)
+        spans = []
+        off = 0
+        for wid, tk in items:
+            m = len(tk)
+            stream[off : off + m] = tk.hashes
+            spans.append((wid, off, m))
+            off += m
+        yield [w for w, _, _ in spans], stream, spans
+
+    # -- search ------------------------------------------------------------
+
+    def search_works(
+        self,
+        works: Dict[str, str] | Dict[str, Tokenized],
+    ) -> Tuple[List[MatchRow], EngineStats]:
+        stats = EngineStats()
+        scfg, xcfg = self.cfg.shingle, self.cfg.search
+        t0 = time.perf_counter()
+        tokenized: Dict[str, Tokenized] = {
+            wid: (t if isinstance(t, Tokenized) else tokenize(t))
+            for wid, t in works.items()
+        }
+        stats.num_works = len(tokenized)
+        stats.extra["ns"] = float(self.index.num_shingles)
+        stats.seconds_host += time.perf_counter() - t0
+        if self.index.num_shingles == 0:
+            return [], stats
+
+        all_hits: List[CandidateHit] = []
+        for wids, stream, spans in self._batches(tokenized):
+            stats.num_batches += 1
+            hits = self._search_batch(stream, spans, tokenized, stats)
+            all_hits.extend(hits)
+
+        t0 = time.perf_counter()
+        # Split-work chunk ids ("wid\x00offset") fold back to the work.
+        folded: List[CandidateHit] = []
+        for h in all_hits:
+            if "\x00" in h.work_id:
+                wid, off = h.work_id.split("\x00")
+                folded.append(
+                    CandidateHit(wid, h.fan_pos + int(off), h.line_no,
+                                 h.score, h.verify_score)
+                )
+            else:
+                folded.append(h)
+        # Dedup (overlapping chunks can verify the same hit twice).
+        uniq: Dict[Tuple[str, int, int], CandidateHit] = {}
+        for h in folded:
+            key = (h.work_id, h.fan_pos, h.line_no)
+            if key not in uniq or h.verify_score > uniq[key].verify_score:
+                uniq[key] = h
+        rows = chain_hits(list(uniq.values()), tokenized, self.index, scfg, xcfg)
+        stats.seconds_host += time.perf_counter() - t0
+        return rows, stats
+
+    def _search_batch(
+        self,
+        stream: np.ndarray,
+        spans: Sequence[Tuple[str, int, int]],
+        tokenized: Dict[str, Tokenized],
+        stats: EngineStats,
+    ) -> List[CandidateHit]:
+        scfg, xcfg = self.cfg.shingle, self.cfg.search
+
+        t0 = time.perf_counter()
+        stream_dev = jnp.asarray(stream)
+        vals, idx = self._candidates_fn(
+            stream_dev, self._s_emb_padded, self._ns_valid, self._salts
+        )
+        vals = jax.block_until_ready(vals)
+        stats.seconds_device_topk += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        vals_h = np.asarray(vals)
+        idx_h = np.asarray(idx)
+        ns = self.index.num_shingles
+
+        # Valid query positions: inside one work's token range.
+        cand: Dict[Tuple[str, int, int], float] = {}
+        qpos, kj = np.nonzero(
+            (vals_h >= xcfg.candidate_threshold) & (idx_h < ns)
+        )
+        if len(qpos):
+            # map stream position -> (work, local fan pos)
+            starts = np.array([off for _, off, _ in spans], dtype=np.int64)
+            lens = np.array([m for _, _, m in spans], dtype=np.int64)
+            wids = [w for w, _, _ in spans]
+            span_of = np.searchsorted(starts, qpos, side="right") - 1
+            ok = (span_of >= 0) & (
+                qpos <= starts[span_of] + lens[span_of] - scfg.n
+            )
+            for q, kk, sp in zip(qpos[ok], kj[ok], span_of[ok]):
+                line = int(self.index.shingle_line[idx_h[q, kk]])
+                key = (wids[sp], int(q - starts[sp]), line)
+                s = float(vals_h[q, kk])
+                if key not in cand or s > cand[key]:
+                    cand[key] = s
+        stats.num_candidates += len(cand)
+        for _, off, m in spans:
+            stats.num_query_shingles += max(0, m - scfg.n + 1)
+        stats.seconds_host += time.perf_counter() - t0
+        if not cand:
+            return []
+
+        # ---- verification batch (device) --------------------------------
+        t0 = time.perf_counter()
+        keys = list(cand.keys())
+        span_off = {w: off for w, off, _ in spans}
+        span_len = {w: m for w, _, m in spans}
+        starts_a = np.zeros((len(keys),), dtype=np.int32)
+        len_a = np.zeros((len(keys),), dtype=np.int32)
+        line_ids = np.zeros((len(keys),), dtype=np.int32)
+        for i, (wid, fan_pos, line) in enumerate(keys):
+            a0, a1 = verify_window(fan_pos, span_len[wid], scfg, xcfg)
+            starts_a[i] = span_off[wid] + a0
+            len_a[i] = a1 - a0
+            line_ids[i] = line
+
+        bucket = _next_pow2(len(keys), 256)
+        pad = bucket - len(keys)
+        if pad:
+            starts_a = np.pad(starts_a, (0, pad))
+            len_a = np.pad(len_a, (0, pad))
+            line_ids = np.pad(line_ids, (0, pad))
+        scores = self._verify_fn(
+            stream_dev,
+            jnp.asarray(starts_a),
+            jnp.asarray(len_a),
+            self._line_tokens,
+            jnp.asarray(line_ids),
+            self._line_lengths,
+        )
+        scores = np.asarray(jax.block_until_ready(scores))[: len(keys)]
+        stats.seconds_device_verify += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        hits = []
+        for (wid, fan_pos, line), v in zip(keys, scores):
+            if v >= xcfg.verify_threshold:
+                hits.append(
+                    CandidateHit(wid, fan_pos, line, cand[(wid, fan_pos, line)], float(v))
+                )
+        stats.num_verified += len(hits)
+        stats.seconds_host += time.perf_counter() - t0
+        return hits
+
+
+# ---------------------------------------------------------------------------
+# jitted device functions (module-level so the cache is shared)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "dim", "shingle_cfg", "use_pallas", "interpret"),
+)
+def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
+                    shingle_cfg, use_pallas, interpret):
+    q_emb = embed_shingles(stream, shingle_cfg, salts=salts)  # [NQ, D] int8
+    if use_pallas:
+        qp, _ = pad_rows(q_emb, 256)
+        vals, idx = topk_dot_pallas(
+            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret
+        )
+        return vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
+    # jnp path: mask padded script rows to NEG_INF via a validity column
+    scores = jax.lax.dot_general(
+        q_emb.astype(jnp.bfloat16),
+        s_emb_padded.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jnp.arange(s_emb_padded.shape[0], dtype=jnp.int32)[None, :]
+    scores = jnp.where(col < ns_valid, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals / dim, idx.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "search_cfg", "use_pallas", "interpret"),
+)
+def _verify_jit(stream, starts_a, len_a, line_tokens, line_ids, line_lengths,
+                *, window, search_cfg, use_pallas, interpret):
+    offs = jnp.arange(window, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(starts_a[:, None] + offs, 0, stream.shape[0] - 1)
+    a = jnp.take(stream, gather_idx)                      # [C, window]
+    b = jnp.take(line_tokens, line_ids, axis=0)           # [C, LT]
+    len_b = jnp.take(line_lengths, line_ids)
+    if use_pallas:
+        return sw_normalized_pallas(
+            a, b, len_a, len_b, search_cfg, interpret=interpret
+        )
+    return sw_normalized_jnp(a, b, len_a, len_b, search_cfg)

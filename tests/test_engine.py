@@ -1,0 +1,115 @@
+"""End-to-end TPU engine vs the CPU oracle (SURVEY.md section 5 golden test)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from fandom_search_tpu.config import PipelineConfig, SearchConfig
+from fandom_search_tpu.data.script_parser import parse_script
+from fandom_search_tpu.search.engine import SearchEngine
+from fandom_search_tpu.search.index import build_script_index
+from fandom_search_tpu.search.oracle import search_works_oracle
+from fandom_search_tpu.utils.synthetic import (
+    make_corpus_with_quotes,
+    make_script,
+    make_vocab,
+)
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(11)
+    vocab = make_vocab(rng, 1500)
+    script_text = make_script(rng, vocab, num_lines=25, words_per_line=(7, 13))
+    lines = parse_script(script_text)
+    index = build_script_index(lines, CFG.shingle, CFG.search)
+    dialogue = [ln.text for ln in lines]
+    works, planted = make_corpus_with_quotes(
+        rng, dialogue, num_works=8, words_per_work=300,
+        quotes_per_work=2, num_edits=0, vocab=vocab,
+    )
+    # some mutated quotes too
+    works2, planted2 = make_corpus_with_quotes(
+        rng, dialogue, num_works=4, words_per_work=250,
+        quotes_per_work=1, num_edits=1, vocab=vocab,
+    )
+    for wid, text in works2.items():
+        works["mut_" + wid] = text
+    return works, planted, index
+
+
+def _row_key(r):
+    return (r.work_id, r.fan_token_start, r.fan_token_end, r.line_no)
+
+
+def test_engine_jnp_matches_oracle(world):
+    works, planted, index = world
+    oracle_rows, _ = search_works_oracle(works, index, CFG)
+    eng = SearchEngine(index, CFG, use_pallas=False)
+    rows, stats = eng.search_works(works)
+    assert {_row_key(r) for r in rows} == {_row_key(r) for r in oracle_rows}
+    assert stats.num_works == len(works)
+    assert stats.num_verified > 0
+
+
+def test_engine_pallas_matches_oracle(world):
+    works, planted, index = world
+    oracle_rows, _ = search_works_oracle(works, index, CFG)
+    eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    rows, _ = eng.search_works(works)
+    assert {_row_key(r) for r in rows} == {_row_key(r) for r in oracle_rows}
+    # scores should agree to rounding
+    o = {_row_key(r): (r.score, r.verify_score) for r in oracle_rows}
+    for r in rows:
+        so, vo = o[_row_key(r)]
+        assert abs(r.score - so) < 1e-3
+        assert abs(r.verify_score - vo) < 1e-3
+
+
+def test_engine_finds_planted(world):
+    works, planted, index = world
+    eng = SearchEngine(index, CFG, use_pallas=False)
+    rows, _ = eng.search_works(works)
+    found = {(r.work_id, r.line_no) for r in rows}
+    missed = [p for p in planted if (p.work_id, p.line_no) not in found]
+    assert not missed
+
+
+def test_engine_empty_and_short_works(world):
+    _, _, index = world
+    eng = SearchEngine(index, CFG, use_pallas=False)
+    rows, stats = eng.search_works({"empty": "", "short": "two words"})
+    assert rows == []
+    assert stats.num_works == 2
+
+
+def test_engine_multi_batch(world):
+    """Force tiny batches so the batch-packing path is exercised."""
+    works, planted, index = world
+    small = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, batch_queries=512)
+    )
+    eng = SearchEngine(index, small, use_pallas=False)
+    rows, stats = eng.search_works(works)
+    assert stats.num_batches > 1
+    oracle_rows, _ = search_works_oracle(works, index, small)
+    assert {_row_key(r) for r in rows} == {_row_key(r) for r in oracle_rows}
+
+
+def test_engine_giant_work_split(world):
+    """A work longer than the batch capacity is chunked with overlap."""
+    works, planted, index = world
+    rng = np.random.default_rng(3)
+    vocab = make_vocab(rng, 500)
+    line = index.lines[5].text
+    body = " ".join(vocab[i] for i in rng.integers(0, len(vocab), 2000))
+    giant = body + " " + line + " " + body
+    small = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, batch_queries=1024)
+    )
+    eng = SearchEngine(index, small, use_pallas=False)
+    rows, _ = eng.search_works({"giant": giant})
+    assert any(r.line_no == 5 for r in rows)
