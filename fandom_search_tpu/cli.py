@@ -1,0 +1,266 @@
+"""``fandomsearch`` CLI — the reference's subcommand surface (SURVEY.md section 3).
+
+Subcommands (verbs match the reference's argparse driver):
+
+  scrape   — download an AO3 tag's works (polite, resumable)
+  clean    — extract story text from scraped HTML, drop broken works
+  getmeta  — extract work metadata into one CSV
+  format   — parse a source script into (line_no, speaker, text) CSV
+  search   — find quotations of the script inside the corpus (TPU)
+  matrix   — aggregate matches into per-line engagement counts
+  bench    — run the standard benchmark and print one JSON line
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+
+def _add_search_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--k", type=int, default=10, help="top-k per query shingle")
+    p.add_argument("--shingle-n", type=int, default=6, help="words per shingle")
+    p.add_argument(
+        "--candidate-threshold", type=float, default=3.5,
+        help="min estimated matching words (of n) to keep a candidate",
+    )
+    p.add_argument(
+        "--verify-threshold", type=float, default=0.35,
+        help="min normalized alignment score to keep a hit",
+    )
+    p.add_argument("--chain-gap", type=int, default=12)
+    p.add_argument("--batch-queries", type=int, default=1 << 17)
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the jnp fallback instead of Pallas kernels")
+    p.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpreter mode (debug)")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--oracle", action="store_true",
+                   help="run the NumPy reference pipeline instead of TPU")
+    p.add_argument("--shards", type=int, default=1,
+                   help="shard the corpus across N devices (data parallel)")
+    p.add_argument("--lsh", action="store_true",
+                   help="use the LSH prefilter for candidate generation")
+
+
+def _pipeline_config(args) -> "PipelineConfig":
+    from fandom_search_tpu.config import (
+        LSHConfig, MeshConfig, PipelineConfig, SearchConfig, ShingleConfig,
+    )
+
+    return PipelineConfig(
+        shingle=ShingleConfig(n=args.shingle_n),
+        search=SearchConfig(
+            k=args.k,
+            candidate_threshold=args.candidate_threshold,
+            verify_threshold=args.verify_threshold,
+            chain_gap=args.chain_gap,
+            batch_queries=args.batch_queries,
+        ),
+        lsh=LSHConfig(),
+        mesh=MeshConfig(works=args.shards),
+    )
+
+
+def cmd_scrape(args) -> int:
+    from fandom_search_tpu.scrape.ao3 import ScrapeConfig, scrape_tag
+
+    cfg = ScrapeConfig(
+        tag=args.tag,
+        out_dir=Path(args.out),
+        start_page=args.start_page,
+        end_page=args.end_page,
+        delay_seconds=args.delay,
+    )
+    n = 0
+    for path in scrape_tag(cfg):
+        n += 1
+        print(path)
+    print(f"downloaded {n} works", file=sys.stderr)
+    return 0
+
+
+def cmd_clean(args) -> int:
+    from fandom_search_tpu.scrape.clean import clean_corpus
+
+    kept = clean_corpus(Path(args.src), Path(args.out))
+    print(f"kept {len(kept)} works", file=sys.stderr)
+    return 0
+
+
+def cmd_getmeta(args) -> int:
+    from fandom_search_tpu.scrape.clean import write_metadata_csv
+
+    n = write_metadata_csv(Path(args.src), Path(args.out))
+    print(f"wrote metadata for {n} works", file=sys.stderr)
+    return 0
+
+
+def cmd_format(args) -> int:
+    from fandom_search_tpu.data.script_parser import parse_script
+
+    lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
+    with open(args.out, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["line_no", "speaker", "text"])
+        for ln in lines:
+            w.writerow([ln.line_no, ln.speaker, ln.text])
+    print(f"parsed {len(lines)} script lines", file=sys.stderr)
+    return 0
+
+
+def cmd_search(args) -> int:
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.scrape.clean import load_works_dir
+    from fandom_search_tpu.search.index import build_script_index
+    from fandom_search_tpu.search.report import (
+        write_matches_csv, write_matches_parquet,
+    )
+
+    cfg = _pipeline_config(args)
+    t0 = time.perf_counter()
+    lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    works = load_works_dir(Path(args.fanworks))
+    t_prep = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if args.oracle:
+        from fandom_search_tpu.search.oracle import search_works_oracle
+
+        rows, stats = search_works_oracle(works, index, cfg)
+        stats_d = dataclasses.asdict(stats)
+    elif args.shards > 1:
+        from fandom_search_tpu.parallel.sharded import ShardedSearchEngine
+
+        eng = ShardedSearchEngine(index, cfg, use_pallas=not args.no_pallas)
+        rows, stats = eng.search_works(works)
+        stats_d = dataclasses.asdict(stats)
+    else:
+        from fandom_search_tpu.search.engine import SearchEngine
+
+        eng = SearchEngine(
+            index, cfg,
+            use_pallas=not args.no_pallas, interpret=args.interpret,
+        )
+        if args.lsh:
+            from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
+
+            attach_lsh_prefilter(eng, cfg.lsh)
+        rows, stats = eng.search_works(works)
+        stats_d = dataclasses.asdict(stats)
+    t_search = time.perf_counter() - t0
+
+    out = Path(args.out)
+    if args.parquet:
+        write_matches_parquet(rows, out)
+    else:
+        write_matches_csv(rows, out)
+    manifest = {
+        "works": len(works),
+        "script_lines": len(lines),
+        "script_shingles": index.num_shingles,
+        "matches": len(rows),
+        "seconds_prep": round(t_prep, 3),
+        "seconds_search": round(t_search, 3),
+        "stats": stats_d,
+    }
+    print(json.dumps(manifest, default=str))
+    return 0
+
+
+def cmd_matrix(args) -> int:
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.search.report import (
+        aggregate_matrix, read_matches_csv, write_matrix_csv,
+    )
+
+    rows = read_matches_csv(Path(args.matches))
+    lines = None
+    if args.script:
+        lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
+    records = aggregate_matrix(rows, lines)
+    write_matrix_csv(records, Path(args.out))
+    print(f"aggregated {len(rows)} matches over {len(records)} lines",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, str(Path(__file__).parent.parent / "bench.py")])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fandomsearch",
+        description="TPU-native text-reuse search (fandom-search capabilities)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("scrape", help="download an AO3 tag's works")
+    sp.add_argument("tag")
+    sp.add_argument("-o", "--out", required=True)
+    sp.add_argument("--start-page", type=int, default=1)
+    sp.add_argument("--end-page", type=int, default=None)
+    sp.add_argument("--delay", type=float, default=5.0)
+    sp.set_defaults(fn=cmd_scrape)
+
+    cp = sub.add_parser("clean", help="extract story text from scraped HTML")
+    cp.add_argument("src")
+    cp.add_argument("-o", "--out", required=True)
+    cp.set_defaults(fn=cmd_clean)
+
+    mp = sub.add_parser("getmeta", help="extract work metadata CSV")
+    mp.add_argument("src")
+    mp.add_argument("-o", "--out", required=True)
+    mp.set_defaults(fn=cmd_getmeta)
+
+    fp = sub.add_parser("format", help="parse a script into line records")
+    fp.add_argument("script")
+    fp.add_argument("-o", "--out", required=True)
+    fp.set_defaults(fn=cmd_format)
+
+    qp = sub.add_parser("search", help="search the corpus for script quotes")
+    qp.add_argument("fanworks", help="dir of cleaned .txt (or .html) works")
+    qp.add_argument("script", help="source script file")
+    qp.add_argument("-o", "--out", required=True)
+    qp.add_argument("--parquet", action="store_true")
+    _add_search_flags(qp)
+    qp.set_defaults(fn=cmd_search)
+
+    xp = sub.add_parser("matrix", help="per-line engagement aggregation")
+    xp.add_argument("matches", help="matches CSV from `search`")
+    xp.add_argument("-o", "--out", required=True)
+    xp.add_argument("--script", default=None)
+    xp.set_defaults(fn=cmd_matrix)
+
+    bp = sub.add_parser("bench", help="run the standard benchmark")
+    bp.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""Reporting + aggregation — reference layer L5 (SURVEY.md section 2).
+
+Match rows go to CSV with the reference's row semantics (fanwork id,
+fan span, script line no, speaker, matched text, scores); the
+``matrix`` aggregation reduces matches to per-script-line engagement
+counts for the downstream visualization (SURVEY.md section 4.3).  Parquet is
+offered as an option for large corpora (columnar, compressed).
+"""
+
+from __future__ import annotations
+
+import csv
+from collections import Counter
+from pathlib import Path
+from typing import Dict, Iterable, List, Sequence
+
+from fandom_search_tpu.data.script_parser import ScriptLine
+from fandom_search_tpu.search.types import MatchRow
+
+
+def write_matches_csv(rows: Sequence[MatchRow], path: str | Path) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(MatchRow.CSV_FIELDS)
+        for r in rows:
+            w.writerow(r.to_csv_row())
+
+
+def write_matches_parquet(rows: Sequence[MatchRow], path: str | Path) -> None:
+    import pandas as pd
+
+    df = pd.DataFrame([r.to_csv_row() for r in rows], columns=MatchRow.CSV_FIELDS)
+    df.to_parquet(path)
+
+
+def read_matches_csv(path: str | Path) -> List[dict]:
+    with Path(path).open(newline="", encoding="utf-8") as f:
+        return list(csv.DictReader(f))
+
+
+def aggregate_matrix(
+    match_rows: Iterable[dict] | Sequence[MatchRow],
+    script_lines: Sequence[ScriptLine] | None = None,
+) -> List[dict]:
+    """Per-script-line engagement counts (reference `matrix` subcommand).
+
+    Returns one record per script line: line_no, speaker, text (when the
+    script is provided), match count, distinct-work count.
+    """
+    counts: Counter = Counter()
+    works: Dict[int, set] = {}
+    for r in match_rows:
+        if isinstance(r, MatchRow):
+            line_no, wid = r.line_no, r.work_id
+        else:
+            line_no, wid = int(r["line_no"]), r["work_id"]
+        counts[line_no] += 1
+        works.setdefault(line_no, set()).add(wid)
+
+    line_range = (
+        range(len(script_lines))
+        if script_lines is not None
+        else sorted(counts)
+    )
+    out = []
+    for ln in line_range:
+        rec = {
+            "line_no": ln,
+            "matches": counts.get(ln, 0),
+            "distinct_works": len(works.get(ln, ())),
+        }
+        if script_lines is not None:
+            rec["speaker"] = script_lines[ln].speaker
+            rec["text"] = script_lines[ln].text
+        out.append(rec)
+    return out
+
+
+def write_matrix_csv(records: List[dict], path: str | Path) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if not records:
+        path.write_text("line_no,matches,distinct_works\n", encoding="utf-8")
+        return
+    with path.open("w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=list(records[0].keys()))
+        w.writeheader()
+        w.writerows(records)

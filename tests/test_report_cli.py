@@ -1,0 +1,110 @@
+import csv
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from fandom_search_tpu.search.report import (
+    aggregate_matrix,
+    read_matches_csv,
+    write_matches_csv,
+    write_matrix_csv,
+)
+from fandom_search_tpu.search.types import MatchRow
+from fandom_search_tpu.utils.synthetic import make_script, make_vocab
+
+
+def _row(wid, line, start=0):
+    return MatchRow(
+        work_id=wid, fan_token_start=start, fan_token_end=start + 6,
+        fan_char_start=0, fan_char_end=30, fan_text="some text",
+        line_no=line, speaker="ALICE", script_text="script line",
+        score=5.5, verify_score=1.0, num_shingles=3,
+    )
+
+
+def test_csv_roundtrip(tmp_path):
+    rows = [_row("w1", 0), _row("w2", 1, start=10)]
+    p = tmp_path / "m.csv"
+    write_matches_csv(rows, p)
+    back = read_matches_csv(p)
+    assert len(back) == 2
+    assert back[0]["work_id"] == "w1"
+    assert back[1]["line_no"] == "1"
+    assert back[0]["verify_score"] == "1.0"
+
+
+def test_aggregate_matrix():
+    rows = [_row("w1", 0), _row("w2", 0), _row("w1", 2), _row("w1", 0, 50)]
+    recs = aggregate_matrix(rows)
+    by_line = {r["line_no"]: r for r in recs}
+    assert by_line[0]["matches"] == 3
+    assert by_line[0]["distinct_works"] == 2
+    assert by_line[2]["matches"] == 1
+
+
+def test_matrix_csv(tmp_path):
+    recs = aggregate_matrix([_row("w1", 0)])
+    p = tmp_path / "matrix.csv"
+    write_matrix_csv(recs, p)
+    with p.open() as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["matches"] == "1"
+
+
+def test_cli_end_to_end(tmp_path):
+    """format -> search -> matrix through the real CLI (CPU backend)."""
+    rng = np.random.default_rng(5)
+    vocab = make_vocab(rng, 800)
+    script_text = make_script(rng, vocab, num_lines=12, words_per_line=(7, 12))
+    script_path = tmp_path / "script.txt"
+    script_path.write_text(script_text, encoding="utf-8")
+
+    fan_dir = tmp_path / "works"
+    fan_dir.mkdir()
+    quote = script_text.splitlines()[3].split(": ", 1)[1]
+    noise = " ".join(vocab[i] for i in rng.integers(0, len(vocab), 120))
+    (fan_dir / "w1.txt").write_text(f"{noise} {quote} {noise}", encoding="utf-8")
+    (fan_dir / "w2.txt").write_text(noise, encoding="utf-8")
+
+    env_cmd = [sys.executable, "-m", "fandom_search_tpu"]
+
+    out_fmt = tmp_path / "script.csv"
+    r = subprocess.run(
+        env_cmd + ["format", str(script_path), "-o", str(out_fmt)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    assert out_fmt.exists()
+
+    out_csv = tmp_path / "matches.csv"
+    r = subprocess.run(
+        env_cmd + [
+            "search", str(fan_dir), str(script_path),
+            "-o", str(out_csv), "--cpu", "--no-pallas",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    manifest = json.loads(r.stdout.strip().splitlines()[-1])
+    assert manifest["works"] == 2
+    assert manifest["matches"] >= 1
+
+    rows = read_matches_csv(out_csv)
+    assert any(r_["line_no"] == "3" and r_["work_id"] == "w1" for r_ in rows)
+
+    out_matrix = tmp_path / "matrix.csv"
+    r = subprocess.run(
+        env_cmd + [
+            "matrix", str(out_csv), "-o", str(out_matrix),
+            "--script", str(script_path),
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    with out_matrix.open() as f:
+        recs = {int(x["line_no"]): x for x in csv.DictReader(f)}
+    assert int(recs[3]["matches"]) >= 1
+    assert recs[3]["speaker"] != ""
