@@ -94,11 +94,13 @@ def _sw_best_jnp(a, b, len_a, len_b, *, match, mismatch, gap):
 
 
 def sw_normalized_jnp(a, b, len_a, len_b, cfg: SearchConfig):
+    len_a = jnp.asarray(len_a, jnp.int32).reshape(-1)
+    len_b = jnp.asarray(len_b, jnp.int32).reshape(-1)
     best = _sw_best_jnp(
         jnp.asarray(a, jnp.uint32),
         jnp.asarray(b, jnp.uint32),
-        jnp.asarray(len_a, jnp.int32),
-        jnp.asarray(len_b, jnp.int32),
+        len_a,
+        len_b,
         match=cfg.sw_match,
         mismatch=cfg.sw_mismatch,
         gap=cfg.sw_gap,

@@ -1,0 +1,208 @@
+"""Corpus-sharded search over a device mesh (BASELINE.json:10).
+
+Layout:
+
+  * query (fanwork) shingles  -> sharded over the ``works`` axis,
+  * script shingle matrix     -> sharded over the ``script`` axis,
+  * each device runs the SAME fused distance+top-k kernel on its
+    (query-shard x script-shard) block,
+  * per-shard top-k results merge with an ``all_gather`` over the
+    ``script`` axis followed by a re-top-k — exact because top-k of a
+    union is top-k of the per-part top-k's.
+
+The merge is tiny (k entries per query per shard) so it rides ICI at
+negligible cost; the heavy traffic (the score matrix) never exists.
+Identical code runs on a virtual CPU mesh in tests and on a real TPU
+slice in production (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from fandom_search_tpu.config import PipelineConfig
+from fandom_search_tpu.data.shingler import embed_shingles
+from fandom_search_tpu.ops.distance_topk import (
+    NEG_INF,
+    topk_dot_pallas,
+)
+from fandom_search_tpu.ops.smith_waterman import (
+    sw_normalized_jnp,
+    sw_normalized_pallas,
+)
+from fandom_search_tpu.parallel.mesh import AXIS_SCRIPT, AXIS_WORKS, make_mesh
+from fandom_search_tpu.search.engine import SearchEngine
+from fandom_search_tpu.search.index import ScriptIndex
+
+
+def _local_topk_jnp(q_emb, s_emb, ns_valid, k, dim):
+    scores = jax.lax.dot_general(
+        q_emb.astype(jnp.bfloat16),
+        s_emb.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jnp.arange(s_emb.shape[0], dtype=jnp.int32)[None, :]
+    scores = jnp.where(col < ns_valid, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals / dim, idx.astype(jnp.int32)
+
+
+def sharded_topk(
+    mesh,
+    q_emb: jax.Array,       # int8 [NQ, D], NQ % (works * tile_q) == 0
+    s_emb: jax.Array,       # int8 [NS_pad, D], NS_pad % (script * tile) == 0
+    ns_valid_per_shard,     # int32 [script_shards]
+    k: int,
+    dim: int,
+    *,
+    use_pallas: bool,
+    interpret: bool = False,
+    tile_q: int = 256,
+    tile_s: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact global top-k with a works x script sharded mesh."""
+    script_shards = mesh.shape[AXIS_SCRIPT]
+    ns_per_shard = s_emb.shape[0] // script_shards
+
+    def local(q_l, s_l, nsv_l):
+        if use_pallas:
+            vals, idx = topk_dot_pallas(
+                q_l, s_l, nsv_l[0], k, dim,
+                tile_q=tile_q, tile_s=tile_s, interpret=interpret,
+            )
+        else:
+            vals, idx = _local_topk_jnp(q_l, s_l, nsv_l[0], k, dim)
+        # local -> global script-shingle index
+        shard = jax.lax.axis_index(AXIS_SCRIPT)
+        idx = idx + shard * ns_per_shard
+        # exact merge across the script axis (ICI): gather k per shard,
+        # re-top-k. all_gather is tiled along a fresh leading axis.
+        all_vals = jax.lax.all_gather(vals, AXIS_SCRIPT, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, AXIS_SCRIPT, axis=1, tiled=True)
+        mvals, mpos = jax.lax.top_k(all_vals, k)
+        midx = jnp.take_along_axis(all_idx, mpos, axis=1)
+        return mvals, midx
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS_WORKS, None), P(AXIS_SCRIPT, None), P(AXIS_SCRIPT)),
+        out_specs=(P(AXIS_WORKS, None), P(AXIS_WORKS, None)),
+        check_vma=False,
+    )
+    return fn(q_emb, s_emb, ns_valid_per_shard)
+
+
+class ShardedSearchEngine(SearchEngine):
+    """SearchEngine whose device stages run SPMD over a mesh.
+
+    Drop-in: same search_works() API and identical results; only the
+    device execution is sharded.  The host side (batching, candidate
+    dedup, chaining) is unchanged — it was never the bottleneck.
+    """
+
+    def __init__(
+        self,
+        index: ScriptIndex,
+        cfg: PipelineConfig,
+        *,
+        mesh=None,
+        use_pallas: bool = True,
+        interpret: bool = False,
+    ):
+        super().__init__(index, cfg, use_pallas=use_pallas, interpret=interpret)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
+        scfg, xcfg = cfg.shingle, cfg.search
+        works = self.mesh.shape[AXIS_WORKS]
+        script = self.mesh.shape[AXIS_SCRIPT]
+
+        if (xcfg.batch_queries % (works * 256)) != 0:
+            raise ValueError(
+                f"batch_queries ({xcfg.batch_queries}) must be divisible by "
+                f"works_shards*256 ({works * 256})"
+            )
+
+        # Re-pad the script matrix so each script shard is tile-aligned.
+        ns = index.num_shingles
+        per = -(-max(ns, 1) // (script * xcfg.script_pad_multiple))
+        per *= xcfg.script_pad_multiple
+        s = np.zeros((per * script, scfg.dim), dtype=np.int8)
+        s[:ns] = index.embeddings
+        self._s_emb_sharded = jax.device_put(jnp.asarray(s))
+        self._ns_valid_shards = jnp.clip(
+            ns - jnp.arange(script, dtype=jnp.int32) * per, 0, per
+        )
+
+        mesh_ = self.mesh
+        up, ip = use_pallas, interpret
+
+        @functools.partial(jax.jit, static_argnames=())
+        def candidates(stream, s_emb, ns_valid_shards, salts):
+            q_emb = embed_shingles(stream, scfg, salts=salts)
+            return sharded_topk(
+                mesh_, q_emb, s_emb, ns_valid_shards,
+                xcfg.k, scfg.dim, use_pallas=up, interpret=ip,
+            )
+
+        # Adapt to the base-class call signature (s_emb/ns_valid ignored
+        # in favor of the sharded copies).
+        self._candidates_fn = lambda stream, _s, _n, salts: candidates(
+            stream, self._s_emb_sharded, self._ns_valid_shards, salts
+        )
+
+        tile_b = 256
+
+        def verify_local(a, b, len_a, len_b):
+            if up:
+                return sw_normalized_pallas(
+                    a, b, len_a, len_b, xcfg, tile_b=tile_b, interpret=ip
+                ).reshape(-1, 1)
+            return sw_normalized_jnp(a, b, len_a, len_b, xcfg).reshape(-1, 1)
+
+        verify_sharded = jax.shard_map(
+            verify_local,
+            mesh=mesh_,
+            in_specs=(
+                P(AXIS_WORKS, None),
+                P(AXIS_WORKS, None),
+                P(AXIS_WORKS, None),
+                P(AXIS_WORKS, None),
+            ),
+            out_specs=P(AXIS_WORKS, None),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def verify(stream, starts_a, len_a, line_tokens, line_ids, line_lengths):
+            window = xcfg.window_tokens
+            offs = jnp.arange(window, dtype=jnp.int32)[None, :]
+            gather_idx = jnp.clip(
+                starts_a[:, None] + offs, 0, stream.shape[0] - 1
+            )
+            a = jnp.take(stream, gather_idx)
+            b = jnp.take(line_tokens, line_ids, axis=0)
+            len_b = jnp.take(line_lengths, line_ids)
+            # pad batch to works * tile_b so each shard is tile-aligned
+            bsz = a.shape[0]
+            unit = works * tile_b
+            pad = (-bsz) % unit
+            if pad:
+                a = jnp.pad(a, ((0, pad), (0, 0)))
+                b = jnp.pad(b, ((0, pad), (0, 0)))
+                len_a_p = jnp.pad(len_a, (0, pad))
+                len_b = jnp.pad(len_b, (0, pad))
+            else:
+                len_a_p = len_a
+            out = verify_sharded(
+                a, b, len_a_p.reshape(-1, 1), len_b.reshape(-1, 1)
+            )
+            return out[:bsz, 0]
+
+        self._verify_fn = verify

@@ -1,0 +1,108 @@
+"""Multi-chip sharding on a virtual 8-device CPU mesh (SURVEY.md section 5)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fandom_search_tpu.config import MeshConfig, PipelineConfig
+from fandom_search_tpu.data.script_parser import parse_script
+from fandom_search_tpu.ops.distance_topk import topk_dot_jnp
+from fandom_search_tpu.parallel.mesh import make_mesh
+from fandom_search_tpu.parallel.sharded import ShardedSearchEngine, sharded_topk
+from fandom_search_tpu.search.engine import SearchEngine
+from fandom_search_tpu.search.index import build_script_index
+from fandom_search_tpu.utils.synthetic import (
+    make_corpus_with_quotes,
+    make_script,
+    make_vocab,
+)
+
+K, DIM = 10, 128
+
+
+def _mesh(works, script):
+    return make_mesh(MeshConfig(works=works, script=script))
+
+
+@pytest.mark.parametrize("works,script", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_topk_exact(rng, works, script):
+    mesh = _mesh(works, script)
+    nq = works * 256
+    ns_true = 700
+    per = -(-max(ns_true, 1) // (script * 512)) * 512
+    q = rng.integers(-6, 7, size=(nq, DIM)).astype(np.int8)
+    s = np.zeros((per * script, DIM), dtype=np.int8)
+    s[:ns_true] = rng.integers(-6, 7, size=(ns_true, DIM)).astype(np.int8)
+    ns_valid = np.clip(ns_true - np.arange(script) * per, 0, per).astype(np.int32)
+
+    vals, idx = sharded_topk(
+        mesh, jnp.asarray(q), jnp.asarray(s), jnp.asarray(ns_valid),
+        K, DIM, use_pallas=False,
+    )
+    want_vals, _ = topk_dot_jnp(q, s[:ns_true], K, DIM)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals), atol=1e-6)
+    # picked indices must be score-consistent and within the true range
+    full = q.astype(np.int32) @ s[:ns_true].astype(np.int32).T / DIM
+    idx_h = np.asarray(idx)
+    assert idx_h.max() < ns_true
+    picked = np.take_along_axis(full, idx_h, axis=1)
+    np.testing.assert_allclose(picked, np.asarray(vals), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(23)
+    vocab = make_vocab(rng, 1200)
+    script_text = make_script(rng, vocab, num_lines=20, words_per_line=(7, 12))
+    lines = parse_script(script_text)
+    works, planted = make_corpus_with_quotes(
+        rng, [ln.text for ln in lines], num_works=10, words_per_work=250,
+        quotes_per_work=2, num_edits=0, vocab=vocab,
+    )
+    return lines, works, planted
+
+
+@pytest.mark.parametrize("works_ax,script_ax", [(4, 2), (8, 1), (1, 8)])
+def test_sharded_engine_matches_single(world, works_ax, script_ax):
+    lines, works, planted = world
+    cfg = PipelineConfig(mesh=MeshConfig(works=works_ax, script=script_ax))
+    cfg = dataclasses.replace(
+        cfg, search=dataclasses.replace(cfg.search, batch_queries=works_ax * 512)
+    )
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+
+    single = SearchEngine(index, cfg, use_pallas=False)
+    rows1, _ = single.search_works(works)
+
+    sharded = ShardedSearchEngine(index, cfg, use_pallas=False)
+    rows2, stats = sharded.search_works(works)
+
+    key = lambda r: (r.work_id, r.fan_token_start, r.fan_token_end, r.line_no)
+    assert {key(r) for r in rows1} == {key(r) for r in rows2}
+    assert stats.num_verified > 0
+
+    found = {(r.work_id, r.line_no) for r in rows2}
+    assert all((p.work_id, p.line_no) in found for p in planted)
+
+
+def test_sharded_engine_pallas_interpret(world):
+    """Pallas kernels inside shard_map (interpret mode) agree too."""
+    lines, works, planted = world
+    cfg = PipelineConfig(mesh=MeshConfig(works=2, script=2))
+    cfg = dataclasses.replace(
+        cfg, search=dataclasses.replace(cfg.search, batch_queries=2 * 512)
+    )
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    mesh = _mesh(2, 2)
+
+    single = SearchEngine(index, cfg, use_pallas=False)
+    rows1, _ = single.search_works(works)
+    sharded = ShardedSearchEngine(
+        index, cfg, mesh=mesh, use_pallas=True, interpret=True
+    )
+    rows2, _ = sharded.search_works(works)
+    key = lambda r: (r.work_id, r.fan_token_start, r.fan_token_end, r.line_no)
+    assert {key(r) for r in rows1} == {key(r) for r in rows2}
