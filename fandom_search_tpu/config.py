@@ -80,8 +80,8 @@ class LSHConfig:
     >= 0.99 (BASELINE.md targets).
     """
 
-    bits: int = 256
-    rerank: int = 64     # candidates kept per query for exact re-score
+    bits: int = 1024
+    rerank: int = 256    # candidates kept per query for exact re-score
     seed: int = 0xB175
 
     def __post_init__(self) -> None:

@@ -1,0 +1,299 @@
+"""Random-projection LSH prefilter (BASELINE.json:11; PAPERS.md:5-9).
+
+Two-stage candidate generation that replaces the brute-force dot kernel
+when the script index is large:
+
+  stage 1 — coarse: every shingle embedding is sketched into ``bits``
+    sign bits of random +-1 projections, packed 32/uint32.  Hamming
+    similarity of packed codes approximates angular similarity
+    (Charikar SimHash), and a Pallas kernel (XOR + SWAR popcount +
+    shared running-top-k merge) keeps the best ``rerank`` per query —
+    the [NQ, NS] code-score matrix never exists in HBM.
+
+  stage 2 — exact: the ``rerank`` survivors are gathered and re-scored
+    with the exact int8 dot, then reduced to top-k.  Exact-NN recall@10
+    is therefore 1.0 whenever the true top-k survive stage 1; measured
+    recall vs the exact kernel >= 0.99 at default settings
+    (BASELINE.md target; see tests/test_lsh.py and bench.py).
+
+Compute shape: stage 1 costs W=bits/32 VPU ops per pair instead of a
+D=128-MAC MXU dot — 8x fewer bytes touched per pair — and stage 2 is
+sub-linear (rerank << NS exact dots per query).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fandom_search_tpu.config import LSHConfig, ShingleConfig
+from fandom_search_tpu.ops.distance_topk import NEG_INF, merge_topk_tile, pad_rows
+
+
+def popcount32(v):
+    """SWAR popcount for uint32 arrays; works in NumPy, XLA, and Mosaic."""
+    v = v - ((v >> 1) & 0x55555555)
+    v = (v & 0x33333333) + ((v >> 2) & 0x33333333)
+    v = (v + (v >> 4)) & 0x0F0F0F0F
+    return (v * 0x01010101) >> 24
+
+
+def make_projection(cfg: LSHConfig, dim: int) -> np.ndarray:
+    """Deterministic +-1 projection matrix [dim, bits] (int8)."""
+    rng = np.random.default_rng(cfg.seed)
+    return (rng.integers(0, 2, size=(dim, cfg.bits)) * 2 - 1).astype(np.int8)
+
+
+def pack_sign_bits(proj_scores) -> jax.Array:
+    """[N, bits] scores -> [N, bits//32] packed uint32 of sign bits."""
+    n, bits = proj_scores.shape
+    b = (proj_scores >= 0).astype(jnp.uint32).reshape(n, bits // 32, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def encode(emb, projection) -> jax.Array:
+    """int8 embeddings [N, D] -> packed sign codes [N, bits//32] uint32."""
+    scores = jax.lax.dot_general(
+        jnp.asarray(emb).astype(jnp.bfloat16),
+        jnp.asarray(projection).astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return pack_sign_bits(scores)
+
+
+@dataclass
+class LSHIndex:
+    """Device-resident prefilter index over the script shingle matrix."""
+
+    projection: jax.Array    # int8 [D, bits]
+    codes_t: jax.Array       # uint32 [W, NS_pad] — transposed packed codes
+    ns_valid: int
+
+    @classmethod
+    def build(
+        cls, s_emb: np.ndarray, cfg: LSHConfig, shingle_cfg: ShingleConfig,
+        pad_multiple: int = 512,
+    ) -> "LSHIndex":
+        proj = jnp.asarray(make_projection(cfg, shingle_cfg.dim))
+        s_pad, ns = pad_rows(jnp.asarray(s_emb), pad_multiple)
+        codes = encode(s_pad, proj)                      # [NS_pad, W]
+        return cls(
+            projection=proj,
+            codes_t=jnp.asarray(codes).T.copy(),         # [W, NS_pad]
+            ns_valid=int(ns),
+        )
+
+
+# ---------------------------------------------------------------------------
+# stage 1: fused Hamming-similarity + running top-R Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _hamming_topk_kernel(
+    ns_valid_ref,  # SMEM (1,) int32
+    q_ref,         # VMEM [TQ, W] uint32
+    st_ref,        # VMEM [W, TS] uint32 (codes transposed)
+    vals_ref,      # VMEM [TQ, R] f32 out (similarity = bits - 2*hamming)
+    idx_ref,       # VMEM [TQ, R] i32 out
+    run_vals,      # VMEM scratch [TQ, R] f32
+    run_idx,       # VMEM scratch [TQ, R] i32
+    *,
+    rerank: int,
+    tile_s: int,
+    words: int,
+    bits: int,
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_vals[:] = jnp.full_like(run_vals[:], NEG_INF)
+        run_idx[:] = jnp.zeros_like(run_idx[:])
+
+    tq = q_ref.shape[0]
+    acc = jnp.zeros((tq, tile_s), jnp.uint32)
+    for w in range(words):  # static unroll: W is 8 for 256 bits
+        qw = q_ref[:, w : w + 1]          # [TQ, 1]
+        sw = st_ref[w : w + 1, :]         # [1, TS]
+        acc = acc + popcount32(qw ^ sw)   # broadcast XOR -> [TQ, TS]
+
+    # similarity in "agreeing bits - disagreeing bits" units
+    scores = jnp.float32(bits) - 2.0 * acc.astype(jnp.float32)
+    tile_base = j * tile_s
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1) + tile_base
+    scores = jnp.where(col_ids < ns_valid_ref[0], scores, NEG_INF)
+
+    merge_topk_tile(run_vals, run_idx, scores, col_ids, rerank)
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        vals_ref[:] = run_vals[:]
+        idx_ref[:] = run_idx[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rerank", "bits", "tile_q", "tile_s", "interpret"),
+)
+def hamming_topk_pallas(
+    q_codes: jax.Array,   # uint32 [NQ, W], NQ % tile_q == 0
+    s_codes_t: jax.Array,  # uint32 [W, NS_pad], NS_pad % tile_s == 0
+    ns_valid,
+    rerank: int,
+    bits: int,
+    *,
+    tile_q: int = 256,
+    tile_s: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    nq, words = q_codes.shape
+    ns = s_codes_t.shape[1]
+    assert nq % tile_q == 0 and ns % tile_s == 0, (nq, ns)
+    grid = (nq // tile_q, ns // tile_s)
+    kernel = functools.partial(
+        _hamming_topk_kernel,
+        rerank=rerank, tile_s=tile_s, words=words, bits=bits,
+    )
+    ns_valid_arr = jnp.asarray(ns_valid, dtype=jnp.int32).reshape((1,))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_q, words), lambda i, j, ns_ref: (i, 0)),
+                pl.BlockSpec((words, tile_s), lambda i, j, ns_ref: (0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_q, rerank), lambda i, j, ns_ref: (i, 0)),
+                pl.BlockSpec((tile_q, rerank), lambda i, j, ns_ref: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((tile_q, rerank), jnp.float32),
+                pltpu.VMEM((tile_q, rerank), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, rerank), jnp.float32),
+            jax.ShapeDtypeStruct((nq, rerank), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * nq * ns * words,
+            bytes_accessed=4 * (nq * words + ns * words + nq * rerank * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ns_valid_arr, q_codes, s_codes_t)
+
+
+# ---------------------------------------------------------------------------
+# stage 2: exact re-score of the survivors
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dim", "chunk"))
+def rerank_exact(
+    q_emb: jax.Array,     # int8 [NQ, D]
+    s_emb: jax.Array,     # int8 [NS_pad, D]
+    cand_idx: jax.Array,  # int32 [NQ, R] from stage 1
+    cand_ok: jax.Array,   # bool [NQ, R] — stage-1 validity (vals > NEG_INF)
+    k: int,
+    dim: int,
+    chunk: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    nq, r = cand_idx.shape
+
+    def one(args):
+        qe, ci, ok = args                       # [c, D], [c, R], [c, R]
+        se = jnp.take(s_emb, ci, axis=0)        # [c, R, D] int8
+        scores = jnp.einsum(
+            "crd,cd->cr",
+            se.astype(jnp.bfloat16),
+            qe.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) / dim
+        scores = jnp.where(ok, scores, NEG_INF)
+        vals, pos = jax.lax.top_k(scores, k)     # R is small; cheap sort
+        idx = jnp.take_along_axis(ci, pos, axis=1)
+        return vals, idx
+
+    if nq <= chunk:
+        return one((q_emb, cand_idx, cand_ok))
+    pad = (-nq) % chunk
+    if pad:
+        q_emb = jnp.pad(q_emb, ((0, pad), (0, 0)))
+        cand_idx = jnp.pad(cand_idx, ((0, pad), (0, 0)))
+        cand_ok = jnp.pad(cand_ok, ((0, pad), (0, 0)))
+    c = (nq + pad) // chunk
+    vals, idx = jax.lax.map(
+        one,
+        (
+            q_emb.reshape(c, chunk, -1),
+            cand_idx.reshape(c, chunk, r),
+            cand_ok.reshape(c, chunk, r),
+        ),
+    )
+    return vals.reshape(-1, k)[:nq], idx.reshape(-1, k)[:nq]
+
+
+def lsh_topk(
+    q_emb: jax.Array,
+    lsh: LSHIndex,
+    s_emb_padded: jax.Array,
+    k: int,
+    dim: int,
+    cfg: LSHConfig,
+    *,
+    interpret: bool = False,
+    tile_q: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-k: Hamming prefilter -> exact rerank."""
+    nq = q_emb.shape[0]
+    qp, _ = pad_rows(jnp.asarray(q_emb), tile_q)
+    q_codes = encode(qp, lsh.projection)
+    ns_pad = lsh.codes_t.shape[1]
+    tile_s = next(t for t in (4096, 2048, 1024, 512) if ns_pad % t == 0)
+    vals1, idx1 = hamming_topk_pallas(
+        q_codes, lsh.codes_t, lsh.ns_valid, cfg.rerank, cfg.bits,
+        tile_q=tile_q, tile_s=tile_s, interpret=interpret,
+    )
+    ok = vals1 > NEG_INF / 2
+    vals, idx = rerank_exact(qp, s_emb_padded, idx1, ok, k, dim)
+    return vals[:nq], idx[:nq]
+
+
+def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
+    """Swap a SearchEngine's candidate stage for the LSH pipeline."""
+    from fandom_search_tpu.data.shingler import embed_shingles
+
+    lsh = LSHIndex.build(
+        engine.index.embeddings, cfg, engine.cfg.shingle,
+        pad_multiple=engine.cfg.search.script_pad_multiple,
+    )
+    engine.lsh = lsh
+    scfg = engine.cfg.shingle
+    xcfg = engine.cfg.search
+    interpret = engine.interpret
+    s_emb_padded = engine._s_emb_padded
+
+    @jax.jit
+    def candidates(stream, s_emb, ns_valid, salts):
+        q_emb = embed_shingles(stream, scfg, salts=salts)
+        return lsh_topk(
+            q_emb, lsh, s_emb, xcfg.k, scfg.dim, cfg, interpret=interpret
+        )
+
+    # keep the original call signature (stream, s_emb, ns_valid, salts)
+    engine._candidates_fn = lambda stream, s_emb, ns_valid, salts: candidates(
+        stream, s_emb_padded, ns_valid, salts
+    )

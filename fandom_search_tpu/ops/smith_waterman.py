@@ -117,11 +117,15 @@ def sw_normalized_jnp(a, b, len_a, len_b, cfg: SearchConfig):
 
 
 def _sw_kernel(
-    a_ref,      # VMEM [TB, LA] uint32 (pad tokens arbitrary; masked by len)
+    a_ext_ref,  # VMEM [TB, LA+LB] uint32 — reverse(a) ++ sentinel pad
     b_ref,      # VMEM [TB, LB] uint32
     lena_ref,   # VMEM [TB, 1] int32
     lenb_ref,   # VMEM [TB, 1] int32
     out_ref,    # VMEM [TB, 1] f32 — normalized score
+    hprev_ref,  # VMEM scratch [TB, LB] f32 — H on diagonal d-1
+    hpp_ref,    # VMEM scratch [TB, LB] f32 — H on diagonal d-2
+    state_ref,  # VMEM scratch [TB, LA+LB] uint32 — rolling reverse(a)
+    best_ref,   # VMEM scratch [TB, LB] f32 — running max
     *,
     la: int,
     lb: int,
@@ -129,7 +133,8 @@ def _sw_kernel(
     mismatch: float,
     gap: float,
 ):
-    tb = a_ref.shape[0]
+    tb = b_ref.shape[0]
+    w = la + lb
     len_a = lena_ref[:]                                          # [TB, 1]
     len_b = lenb_ref[:]
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, lb), 1)
@@ -141,12 +146,22 @@ def _sw_kernel(
         rolled = pltpu.roll(x, shift=1, axis=1)
         return jnp.where(lane0, 0.0, rolled)
 
-    def step(d, carry):
-        h_prev, h_prevprev, a_diag, best = carry
-        a_col = a_ref[:, pl.ds(jnp.minimum(d, la - 1), 1)]       # [TB, 1]
-        a_diag = pltpu.roll(a_diag, shift=1, axis=1)
-        inject = jnp.logical_and(lane0, d < la)
-        a_diag = jnp.where(inject, a_col, a_diag)
+    # a's anti-diagonal slice via a circularly rolling buffer: with
+    # state_d = roll(a_ext, -(la-1) + d), lanes [0, lb) of state_d hold
+    # a[d - j] (garbage where i=d-j is out of range — masked below).
+    # Mosaic forbids dynamic lane indexing, so this replaces a per-step
+    # dynamic column read with one static lane-roll per step.  DP state
+    # lives in VMEM scratch, not loop carries — Mosaic cannot unify the
+    # layout of splat-constant carry inits with computed loop outputs.
+    state_ref[:] = pltpu.roll(a_ext_ref[:], shift=(w - (la - 1)) % w, axis=1)
+    hprev_ref[:] = jnp.zeros((tb, lb), jnp.float32)
+    hpp_ref[:] = jnp.zeros((tb, lb), jnp.float32)
+    best_ref[:] = jnp.zeros((tb, lb), jnp.float32)
+
+    def step(d, _):
+        h_prev = hprev_ref[:]
+        state = state_ref[:]
+        a_diag = state[:, :lb]
 
         i_ids = d - j_ids
         valid = jnp.logical_and(
@@ -155,23 +170,20 @@ def _sw_kernel(
 
         sub = jnp.where(a_diag == b_tok, match, mismatch)
         h = jnp.maximum(
-            shift_right_f(h_prevprev) + sub,
+            shift_right_f(hpp_ref[:]) + sub,
             jnp.maximum(shift_right_f(h_prev), h_prev) + gap,
         )
         h = jnp.maximum(h, 0.0)
         h = jnp.where(valid, h, 0.0)
-        best = jnp.maximum(best, h)
-        return (h, h_prev, a_diag, best)
+        best_ref[:] = jnp.maximum(best_ref[:], h)
+        hpp_ref[:] = h_prev
+        hprev_ref[:] = h
+        state_ref[:] = pltpu.roll(state, shift=1, axis=1)
+        return 0
 
-    init = (
-        jnp.zeros((tb, lb), jnp.float32),
-        jnp.zeros((tb, lb), jnp.float32),
-        jnp.full((tb, lb), 0xFFFFFFFF, dtype=jnp.uint32),
-        jnp.zeros((tb, lb), jnp.float32),
-    )
-    _, _, _, best = jax.lax.fori_loop(0, la + lb - 1, step, init)
+    jax.lax.fori_loop(0, la + lb - 1, step, 0)
     denom = match * jnp.maximum(1, jnp.minimum(len_a, len_b)).astype(jnp.float32)
-    out_ref[:] = jnp.max(best, axis=1, keepdims=True) / denom
+    out_ref[:] = jnp.max(best_ref[:], axis=1, keepdims=True) / denom
 
 
 @functools.partial(
@@ -183,6 +195,10 @@ def _sw_pallas_call(
 ):
     bsz, la = a.shape
     lb = b.shape[1]
+    # reverse(a) ++ pad: the kernel's circularly rolling diagonal buffer
+    a_ext = jnp.concatenate(
+        [a[:, ::-1], jnp.zeros((bsz, lb), a.dtype)], axis=1
+    )
     kernel = functools.partial(
         _sw_kernel, la=la, lb=lb, match=match, mismatch=mismatch, gap=gap
     )
@@ -190,20 +206,26 @@ def _sw_pallas_call(
         kernel,
         grid=(bsz // tile_b,),
         in_specs=[
-            pl.BlockSpec((tile_b, la), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, la + lb), lambda i: (i, 0)),
             pl.BlockSpec((tile_b, lb), lambda i: (i, 0)),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, lb), jnp.float32),
+            pltpu.VMEM((tile_b, lb), jnp.float32),
+            pltpu.VMEM((tile_b, la + lb), jnp.uint32),
+            pltpu.VMEM((tile_b, lb), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=10 * bsz * la * lb,
             bytes_accessed=bsz * (la + lb) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a, b, len_a, len_b)
+    )(a_ext, b, len_a, len_b)
 
 
 def sw_normalized_pallas(
