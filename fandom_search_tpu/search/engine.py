@@ -31,7 +31,8 @@ import numpy as np
 from fandom_search_tpu.config import PipelineConfig
 from fandom_search_tpu.data.hashing import derive_salts
 from fandom_search_tpu.data.shingler import embed_shingles
-from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
+from fandom_search_tpu.data.tokenizer import Tokenized
+from fandom_search_tpu.data.fast_tokenizer import tokenize_many
 from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_jnp, topk_dot_pallas
 from fandom_search_tpu.ops.smith_waterman import sw_normalized_jnp, sw_normalized_pallas
 from fandom_search_tpu.search.chain import chain_hits
@@ -174,10 +175,12 @@ class SearchEngine:
         stats = EngineStats()
         scfg, xcfg = self.cfg.shingle, self.cfg.search
         t0 = time.perf_counter()
+        raw = {w: t for w, t in works.items() if not isinstance(t, Tokenized)}
         tokenized: Dict[str, Tokenized] = {
-            wid: (t if isinstance(t, Tokenized) else tokenize(t))
-            for wid, t in works.items()
+            wid: t for wid, t in works.items() if isinstance(t, Tokenized)
         }
+        if raw:
+            tokenized.update(tokenize_many(raw))  # native C++ when available
         stats.num_works = len(tokenized)
         stats.extra["ns"] = float(self.index.num_shingles)
         stats.seconds_host += time.perf_counter() - t0
@@ -234,49 +237,64 @@ class SearchEngine:
         idx_h = np.asarray(idx)
         ns = self.index.num_shingles
 
-        # Valid query positions: inside one work's token range.
-        cand: Dict[Tuple[str, int, int], float] = {}
+        # Valid query positions: inside one work's token range. Fully
+        # vectorized dedup of (work, fan_pos, line) keeping the max score.
         qpos, kj = np.nonzero(
             (vals_h >= xcfg.candidate_threshold) & (idx_h < ns)
         )
-        if len(qpos):
-            # map stream position -> (work, local fan pos)
-            starts = np.array([off for _, off, _ in spans], dtype=np.int64)
-            lens = np.array([m for _, _, m in spans], dtype=np.int64)
-            wids = [w for w, _, _ in spans]
-            span_of = np.searchsorted(starts, qpos, side="right") - 1
-            ok = (span_of >= 0) & (
-                qpos <= starts[span_of] + lens[span_of] - scfg.n
-            )
-            for q, kk, sp in zip(qpos[ok], kj[ok], span_of[ok]):
-                line = int(self.index.shingle_line[idx_h[q, kk]])
-                key = (wids[sp], int(q - starts[sp]), line)
-                s = float(vals_h[q, kk])
-                if key not in cand or s > cand[key]:
-                    cand[key] = s
-        stats.num_candidates += len(cand)
+        starts = np.array([off for _, off, _ in spans], dtype=np.int64)
+        lens = np.array([m for _, _, m in spans], dtype=np.int64)
+        wids = [w for w, _, _ in spans]
         for _, off, m in spans:
             stats.num_query_shingles += max(0, m - scfg.n + 1)
-        stats.seconds_host += time.perf_counter() - t0
-        if not cand:
+
+        if len(qpos) == 0:
+            stats.seconds_host += time.perf_counter() - t0
             return []
+        span_of = np.searchsorted(starts, qpos, side="right") - 1
+        ok = (span_of >= 0) & (qpos <= starts[span_of] + lens[span_of] - scfg.n)
+        qpos, kj, span_of = qpos[ok], kj[ok], span_of[ok]
+        if len(qpos) == 0:
+            stats.seconds_host += time.perf_counter() - t0
+            return []
+
+        local_pos = (qpos - starts[span_of]).astype(np.int64)
+        line = self.index.shingle_line[idx_h[qpos, kj]].astype(np.int64)
+        score = vals_h[qpos, kj]
+        # dedup on (span, pos, line) keeping max score: sort by key then
+        # score descending, keep first of each key group
+        order = np.lexsort((-score, line, local_pos, span_of))
+        sp_s, pos_s, ln_s, sc_s = (
+            span_of[order], local_pos[order], line[order], score[order]
+        )
+        first = np.ones(len(sp_s), dtype=bool)
+        first[1:] = (
+            (sp_s[1:] != sp_s[:-1])
+            | (pos_s[1:] != pos_s[:-1])
+            | (ln_s[1:] != ln_s[:-1])
+        )
+        sp_u, pos_u, ln_u, sc_u = (
+            sp_s[first], pos_s[first], ln_s[first], sc_s[first]
+        )
+        ncand = len(sp_u)
+        stats.num_candidates += ncand
+        stats.seconds_host += time.perf_counter() - t0
 
         # ---- verification batch (device) --------------------------------
         t0 = time.perf_counter()
-        keys = list(cand.keys())
-        span_off = {w: off for w, off, _ in spans}
-        span_len = {w: m for w, _, m in spans}
-        starts_a = np.zeros((len(keys),), dtype=np.int32)
-        len_a = np.zeros((len(keys),), dtype=np.int32)
-        line_ids = np.zeros((len(keys),), dtype=np.int32)
-        for i, (wid, fan_pos, line) in enumerate(keys):
-            a0, a1 = verify_window(fan_pos, span_len[wid], scfg, xcfg)
-            starts_a[i] = span_off[wid] + a0
-            len_a[i] = a1 - a0
-            line_ids[i] = line
+        w = xcfg.window_tokens
+        lead = (w - scfg.n) // 2
+        span_lens = lens[sp_u]
+        a0 = np.minimum(
+            np.maximum(0, pos_u - lead), np.maximum(0, span_lens - w)
+        )
+        a1 = np.minimum(span_lens, a0 + w)
+        starts_a = (starts[sp_u] + a0).astype(np.int32)
+        len_a = (a1 - a0).astype(np.int32)
+        line_ids = ln_u.astype(np.int32)
 
-        bucket = _next_pow2(len(keys), 256)
-        pad = bucket - len(keys)
+        bucket = _next_pow2(ncand, 256)
+        pad = bucket - ncand
         if pad:
             starts_a = np.pad(starts_a, (0, pad))
             len_a = np.pad(len_a, (0, pad))
@@ -289,16 +307,18 @@ class SearchEngine:
             jnp.asarray(line_ids),
             self._line_lengths,
         )
-        scores = np.asarray(jax.block_until_ready(scores))[: len(keys)]
+        scores = np.asarray(jax.block_until_ready(scores))[:ncand]
         stats.seconds_device_verify += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        hits = []
-        for (wid, fan_pos, line), v in zip(keys, scores):
-            if v >= xcfg.verify_threshold:
-                hits.append(
-                    CandidateHit(wid, fan_pos, line, cand[(wid, fan_pos, line)], float(v))
-                )
+        keep = np.nonzero(scores >= xcfg.verify_threshold)[0]
+        hits = [
+            CandidateHit(
+                wids[sp_u[i]], int(pos_u[i]), int(ln_u[i]),
+                float(sc_u[i]), float(scores[i]),
+            )
+            for i in keep
+        ]
         stats.num_verified += len(hits)
         stats.seconds_host += time.perf_counter() - t0
         return hits

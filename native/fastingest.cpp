@@ -1,0 +1,142 @@
+// fastingest — native host-side tokenizer + hasher.
+//
+// The TPU pipeline's host bottleneck is corpus ingestion: tokenize each
+// fanwork and hash every token (engine profile shows host time dominating
+// once the kernels run at 10^10 pairs/s; see bench_details.json).  This
+// implements data/tokenizer.py + data/hashing.py semantics byte-for-byte:
+//
+//   * tokens: maximal runs of [0-9a-z] on the lowercased text, with
+//     single apostrophes allowed between runs ("don't");
+//   * lowercasing: ASCII A-Z only (plus U+212A KELVIN SIGN -> 'k', the
+//     one non-ASCII char whose Python str.lower() lands in ASCII);
+//     all other code points are separators, matching the Python regex;
+//   * offsets: in Unicode code points of the ORIGINAL string (Python
+//     str indices);
+//   * hash: FNV-1a over the lowercased ASCII token bytes, finalized
+//     with murmur3 fmix32 (data/hashing.py hash_word).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).  The
+// function releases no Python state and is thread-safe, so Python can
+// fan it out over a thread pool (ctypes drops the GIL during the call).
+//
+// Build: g++ -O3 -shared -fPIC -o libfastingest.so fastingest.cpp
+
+#include <cstdint>
+#include <cstddef>
+
+namespace {
+
+inline uint32_t fmix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+constexpr uint32_t kFnvOffset = 2166136261u;
+constexpr uint32_t kFnvPrime = 16777619u;
+
+// Decode one UTF-8 code point at p (n bytes remaining).
+// Returns the number of bytes consumed (>=1) and writes the code point.
+// Invalid sequences decode as U+FFFD one byte at a time (they are
+// separators either way, so exact behavior only affects offsets of
+// malformed input, which Python would have rejected upstream).
+inline int decode_utf8(const uint8_t* p, int64_t n, uint32_t* cp) {
+  uint8_t b0 = p[0];
+  if (b0 < 0x80) { *cp = b0; return 1; }
+  if ((b0 >> 5) == 0x6 && n >= 2 && (p[1] & 0xC0) == 0x80) {
+    *cp = ((b0 & 0x1F) << 6) | (p[1] & 0x3F);
+    return 2;
+  }
+  if ((b0 >> 4) == 0xE && n >= 3 && (p[1] & 0xC0) == 0x80 &&
+      (p[2] & 0xC0) == 0x80) {
+    *cp = ((b0 & 0x0F) << 12) | ((p[1] & 0x3F) << 6) | (p[2] & 0x3F);
+    return 3;
+  }
+  if ((b0 >> 3) == 0x1E && n >= 4 && (p[1] & 0xC0) == 0x80 &&
+      (p[2] & 0xC0) == 0x80 && (p[3] & 0xC0) == 0x80) {
+    *cp = ((b0 & 0x07) << 18) | ((p[1] & 0x3F) << 12) |
+          ((p[2] & 0x3F) << 6) | (p[3] & 0x3F);
+    return 4;
+  }
+  *cp = 0xFFFD;
+  return 1;
+}
+
+// Map a code point to its token character ([0-9a-z]), or 0 if it is
+// not a token character, or '\'' for the apostrophe.
+inline char token_char(uint32_t cp) {
+  if (cp >= 'a' && cp <= 'z') return (char)cp;
+  if (cp >= '0' && cp <= '9') return (char)cp;
+  if (cp >= 'A' && cp <= 'Z') return (char)(cp + 32);
+  if (cp == 0x212A) return 'k';  // KELVIN SIGN lowercases to ASCII k
+  if (cp == '\'') return '\'';
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize+hash one UTF-8 document.
+//   utf8/nbytes : input buffer
+//   hashes      : out, capacity >= number of code points
+//   starts/ends : out, token offsets in code points
+// Returns the number of tokens.
+int64_t fs_tokenize(const uint8_t* utf8, int64_t nbytes,
+                    uint32_t* hashes, int64_t* starts, int64_t* ends) {
+  int64_t ntok = 0;
+  int64_t cp_index = 0;   // code-point position in the original string
+  int64_t i = 0;          // byte position
+
+  // decoded lookahead of one code point
+  while (i < nbytes) {
+    uint32_t cp;
+    int adv = decode_utf8(utf8 + i, nbytes - i, &cp);
+    char c = token_char(cp);
+    if (c == 0 || c == '\'') {  // separators (incl. leading apostrophes)
+      i += adv;
+      ++cp_index;
+      continue;
+    }
+    // start of a token
+    int64_t tok_start = cp_index;
+    uint32_t h = kFnvOffset;
+    int64_t tok_end = cp_index;
+    while (i < nbytes) {
+      adv = decode_utf8(utf8 + i, nbytes - i, &cp);
+      c = token_char(cp);
+      if (c == 0) break;
+      if (c == '\'') {
+        // include only if followed by a token character
+        if (i + adv >= nbytes) break;
+        uint32_t cp2;
+        int adv2 = decode_utf8(utf8 + i + adv, nbytes - i - adv, &cp2);
+        char c2 = token_char(cp2);
+        if (c2 == 0 || c2 == '\'') break;
+        h = (h ^ (uint32_t)'\'') * kFnvPrime;
+        h = (h ^ (uint32_t)c2) * kFnvPrime;
+        i += adv + adv2;
+        cp_index += 2;
+        tok_end = cp_index;
+        continue;
+      }
+      h = (h ^ (uint32_t)c) * kFnvPrime;
+      i += adv;
+      ++cp_index;
+      tok_end = cp_index;
+    }
+    hashes[ntok] = fmix32(h);
+    starts[ntok] = tok_start;
+    ends[ntok] = tok_end;
+    ++ntok;
+  }
+  return ntok;
+}
+
+// Version stamp so Python can detect stale binaries.
+int32_t fs_abi_version() { return 2; }
+
+}  // extern "C"

@@ -1,0 +1,75 @@
+"""Native C++ tokenizer must match the Python reference byte-for-byte."""
+
+import numpy as np
+import pytest
+
+from fandom_search_tpu.data.fast_tokenizer import (
+    fast_tokenize,
+    native_available,
+    tokenize_many,
+)
+from fandom_search_tpu.data.tokenizer import tokenize
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native library unavailable"
+)
+
+
+def _assert_equal(text):
+    a = tokenize(text)
+    b = fast_tokenize(text)
+    assert a.tokens == b.tokens, text
+    assert np.array_equal(a.offsets, b.offsets), text
+    assert np.array_equal(a.hashes, b.hashes), text
+
+
+def test_simple():
+    _assert_equal("The QUICK brown-fox, jumps! don't stop o'clock 123abc")
+
+
+def test_apostrophe_edges():
+    for t in ["'hello'", "don''t", "a'b'c", "'", "''", "x'", "'x", "it's"]:
+        _assert_equal(t)
+
+
+def test_unicode():
+    for t in [
+        "café naïve résumé",        # non-ASCII letters are separators
+        "İstanbul is big",           # length-changing lowercase
+        "Kelvin sign",          # KELVIN SIGN lowercases to ASCII k
+        "日本語 text here",
+        "emoji 😀 mixed 𝔘𝔫𝔦 text",
+        "Ａｂｃ fullwidth",
+    ]:
+        _assert_equal(t)
+
+
+def test_empty_and_symbols():
+    for t in ["", "   ", "!!! --- ???", "\n\t\r"]:
+        _assert_equal(t)
+
+
+def test_fuzz_ascii(rng):
+    chars = list("abc XYZ 012,.!?'\"-\n\t")
+    for _ in range(200):
+        n = int(rng.integers(0, 200))
+        t = "".join(chars[i] for i in rng.integers(0, len(chars), n))
+        _assert_equal(t)
+
+
+def test_fuzz_unicode(rng):
+    chars = list("abz AZ09'é漢Kİ😀 .")
+    for _ in range(100):
+        n = int(rng.integers(0, 100))
+        t = "".join(chars[i] for i in rng.integers(0, len(chars), n))
+        _assert_equal(t)
+
+
+def test_tokenize_many():
+    texts = {f"w{i}": f"hello world number {i} don't" for i in range(20)}
+    out = tokenize_many(texts)
+    assert set(out) == set(texts)
+    for k, v in texts.items():
+        ref = tokenize(v)
+        assert out[k].tokens == ref.tokens
+        assert np.array_equal(out[k].hashes, ref.hashes)
