@@ -115,6 +115,25 @@ def cmd_format(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build + persist the script index (decoupled from query)."""
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.search.index import build_script_index
+    from fandom_search_tpu.search.persist import save_index
+
+    cfg = _pipeline_config(args)
+    lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    save_index(index, cfg, Path(args.out))
+    print(f"indexed {len(lines)} lines -> {index.num_shingles} shingles "
+          f"at {args.out}", file=sys.stderr)
+    return 0
+
+
 def cmd_search(args) -> int:
     if args.cpu:
         import jax
@@ -128,12 +147,28 @@ def cmd_search(args) -> int:
         write_matches_csv, write_matches_parquet,
     )
 
-    cfg = _pipeline_config(args)
     t0 = time.perf_counter()
-    lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
-    index = build_script_index(lines, cfg.shingle, cfg.search)
+    if args.index:
+        from fandom_search_tpu.search.persist import load_index
+
+        index, cfg = load_index(Path(args.index))
+        lines = index.lines
+    else:
+        if not args.script:
+            print("error: provide a script file or --index", file=sys.stderr)
+            return 2
+        cfg = _pipeline_config(args)
+        lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
+        index = build_script_index(lines, cfg.shingle, cfg.search)
     works = load_works_dir(Path(args.fanworks))
     t_prep = time.perf_counter() - t0
+
+    profile_ctx = None
+    if args.profile:
+        from fandom_search_tpu.utils.profiling import device_trace
+
+        profile_ctx = device_trace(args.profile)
+        profile_ctx.__enter__()
 
     t0 = time.perf_counter()
     if args.oracle:
@@ -158,9 +193,18 @@ def cmd_search(args) -> int:
             from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
 
             attach_lsh_prefilter(eng, cfg.lsh)
-        rows, stats = eng.search_works(works)
-        stats_d = dataclasses.asdict(stats)
+        if args.resume_dir:
+            from fandom_search_tpu.search.runner import ResumableRunner
+
+            runner = ResumableRunner(eng, Path(args.resume_dir))
+            rows = runner.run(works)
+            stats_d = {"resumable": True, "units": len(runner.manifest["units"])}
+        else:
+            rows, stats = eng.search_works(works)
+            stats_d = dataclasses.asdict(stats)
     t_search = time.perf_counter() - t0
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     out = Path(args.out)
     if args.parquet:
@@ -234,11 +278,24 @@ def build_parser() -> argparse.ArgumentParser:
     fp.add_argument("-o", "--out", required=True)
     fp.set_defaults(fn=cmd_format)
 
+    ip = sub.add_parser("index", help="build + persist the script index")
+    ip.add_argument("script")
+    ip.add_argument("-o", "--out", required=True)
+    _add_search_flags(ip)
+    ip.set_defaults(fn=cmd_index)
+
     qp = sub.add_parser("search", help="search the corpus for script quotes")
     qp.add_argument("fanworks", help="dir of cleaned .txt (or .html) works")
-    qp.add_argument("script", help="source script file")
+    qp.add_argument("script", nargs="?", default=None,
+                    help="source script file (or use --index)")
     qp.add_argument("-o", "--out", required=True)
     qp.add_argument("--parquet", action="store_true")
+    qp.add_argument("--index", default=None,
+                    help="persisted index dir (from `index`)")
+    qp.add_argument("--resume-dir", default=None,
+                    help="work-unit dir for resumable runs")
+    qp.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this dir")
     _add_search_flags(qp)
     qp.set_defaults(fn=cmd_search)
 

@@ -1,0 +1,90 @@
+"""Index persistence — decouple index build from query (SURVEY.md section 6).
+
+The reference's only checkpointing is filesystem-as-checkpoint between
+pipeline stages.  Here the device-side index (script shingle embeddings,
+attribution tables, optional LSH codes) persists via orbax-checkpoint,
+and the host-side line records via JSON, so a large corpus can be
+searched repeatedly without re-parsing or re-embedding the script.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from fandom_search_tpu.config import (
+    LSHConfig,
+    PipelineConfig,
+    SearchConfig,
+    ShingleConfig,
+)
+from fandom_search_tpu.data.script_parser import ScriptLine
+from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
+from fandom_search_tpu.search.index import ScriptIndex
+
+_ARRAY_FIELDS = (
+    "stream_hashes",
+    "token_line",
+    "shingle_line",
+    "shingle_windows",
+    "embeddings",
+    "line_tokens",
+    "line_lengths",
+)
+
+
+def save_index(index: ScriptIndex, cfg: PipelineConfig, path: str | Path) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    path.mkdir(parents=True, exist_ok=True)
+    arrays = {f: np.asarray(getattr(index, f)) for f in _ARRAY_FIELDS}
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path / "arrays", arrays, force=True)
+    meta = {
+        "version": 1,
+        "lines": [
+            {"line_no": ln.line_no, "speaker": ln.speaker, "text": ln.text}
+            for ln in index.lines
+        ],
+        "shingle": dataclasses.asdict(cfg.shingle),
+        "search": dataclasses.asdict(cfg.search),
+        "lsh": dataclasses.asdict(cfg.lsh),
+    }
+    (path / "meta.json").write_text(json.dumps(meta), encoding="utf-8")
+
+
+def load_index(path: str | Path) -> Tuple[ScriptIndex, PipelineConfig]:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    meta = json.loads((path / "meta.json").read_text(encoding="utf-8"))
+    ckptr = ocp.PyTreeCheckpointer()
+    arrays = ckptr.restore(path / "arrays")
+    lines = [
+        ScriptLine(d["line_no"], d["speaker"], d["text"]) for d in meta["lines"]
+    ]
+    tokenized = [tokenize(ln.text) for ln in lines]
+    index = ScriptIndex(
+        lines=lines,
+        tokenized=tokenized,
+        **{
+            f: np.asarray(arrays[f])
+            for f in _ARRAY_FIELDS
+        },
+    )
+    # restore dtypes orbax may widen
+    index.stream_hashes = index.stream_hashes.astype(np.uint32)
+    index.shingle_windows = index.shingle_windows.astype(np.uint32)
+    index.line_tokens = index.line_tokens.astype(np.uint32)
+    index.embeddings = index.embeddings.astype(np.int8)
+    cfg = PipelineConfig(
+        shingle=ShingleConfig(**meta["shingle"]),
+        search=SearchConfig(**meta["search"]),
+        lsh=LSHConfig(**meta["lsh"]),
+    )
+    return index, cfg

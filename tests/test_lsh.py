@@ -102,7 +102,10 @@ def test_engine_with_lsh_matches_oracle_rows(rng):
     rows_exact, _ = base.search_works(works)
 
     eng = SearchEngine(index, cfg, use_pallas=True, interpret=True)
-    attach_lsh_prefilter(eng, cfg.lsh)
+    # smaller sketch in interpret mode: the unrolled 32-word popcount
+    # loop is minutes-slow on the interpreter; 256 bits is plenty at
+    # this corpus size and exercises the identical code path
+    attach_lsh_prefilter(eng, dataclasses.replace(cfg.lsh, bits=256, rerank=128))
     rows_lsh, _ = eng.search_works(works)
 
     key = lambda r: (r.work_id, r.fan_token_start, r.fan_token_end, r.line_no)

@@ -1,0 +1,130 @@
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fandom_search_tpu.config import PipelineConfig
+from fandom_search_tpu.data.script_parser import parse_script
+from fandom_search_tpu.search.engine import SearchEngine
+from fandom_search_tpu.search.index import build_script_index
+from fandom_search_tpu.search.persist import load_index, save_index
+from fandom_search_tpu.search.runner import ResumableRunner
+from fandom_search_tpu.utils.profiling import StageTimer
+from fandom_search_tpu.utils.synthetic import (
+    make_corpus_with_quotes,
+    make_script,
+    make_vocab,
+)
+
+CFG = PipelineConfig()
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(31)
+    vocab = make_vocab(rng, 900)
+    lines = parse_script(make_script(rng, vocab, num_lines=15))
+    index = build_script_index(lines, CFG.shingle, CFG.search)
+    works, planted = make_corpus_with_quotes(
+        rng, [ln.text for ln in lines], num_works=9, words_per_work=150,
+        quotes_per_work=1, vocab=vocab,
+    )
+    return index, works, planted
+
+
+def test_save_load_roundtrip(tmp_path, world):
+    index, works, _ = world
+    save_index(index, CFG, tmp_path / "idx")
+    index2, cfg2 = load_index(tmp_path / "idx")
+
+    assert cfg2.shingle == CFG.shingle
+    assert cfg2.search == CFG.search
+    np.testing.assert_array_equal(index2.embeddings, index.embeddings)
+    np.testing.assert_array_equal(index2.shingle_line, index.shingle_line)
+    np.testing.assert_array_equal(index2.line_tokens, index.line_tokens)
+    assert [ln.text for ln in index2.lines] == [ln.text for ln in index.lines]
+
+    # a loaded index must search identically
+    e1 = SearchEngine(index, CFG, use_pallas=False)
+    e2 = SearchEngine(index2, cfg2, use_pallas=False)
+    r1, _ = e1.search_works(works)
+    r2, _ = e2.search_works(works)
+    assert [r.to_csv_row() for r in r1] == [r.to_csv_row() for r in r2]
+
+
+def test_resumable_runner(tmp_path, world):
+    index, works, planted = world
+    eng = SearchEngine(index, CFG, use_pallas=False)
+    direct, _ = eng.search_works(works)
+
+    out = tmp_path / "run"
+    runner = ResumableRunner(eng, out, unit_size=3)
+    rows = runner.run(works)
+    assert len(rows) == len(direct)
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert len(manifest["units"]) == 3
+    assert all(u["done"] for u in manifest["units"].values())
+
+    # resume: no engine calls should happen for complete units
+    calls = []
+    orig = eng.search_works
+    eng.search_works = lambda w: calls.append(len(w)) or orig(w)
+    runner2 = ResumableRunner(eng, out, unit_size=3)
+    rows2 = runner2.run(works)
+    assert calls == []
+    assert len(rows2) == len(direct)
+
+    # delete one unit -> only that unit reruns
+    (out / "unit_00001.csv").unlink()
+    runner3 = ResumableRunner(eng, out, unit_size=3)
+    runner3.manifest["units"]["00001"]["done"] = False
+    rows3 = runner3.run(works)
+    assert calls == [3]
+    assert len(rows3) == len(direct)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t("a"):
+        pass
+    with t("a"):
+        pass
+    with t("b"):
+        pass
+    d = t.as_dict()
+    assert d["a"]["calls"] == 2 and d["b"]["calls"] == 1
+
+
+def test_cli_index_then_search(tmp_path):
+    rng = np.random.default_rng(5)
+    vocab = make_vocab(rng, 500)
+    script_text = make_script(rng, vocab, num_lines=10, words_per_line=(7, 12))
+    script_path = tmp_path / "script.txt"
+    script_path.write_text(script_text, encoding="utf-8")
+    fan_dir = tmp_path / "works"
+    fan_dir.mkdir()
+    quote = script_text.splitlines()[2].split(": ", 1)[1]
+    noise = " ".join(vocab[i] for i in rng.integers(0, len(vocab), 80))
+    (fan_dir / "w1.txt").write_text(f"{noise} {quote} {noise}", encoding="utf-8")
+
+    cmd = [sys.executable, "-m", "fandom_search_tpu"]
+    r = subprocess.run(
+        cmd + ["index", str(script_path), "-o", str(tmp_path / "idx"), "--cpu"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+
+    r = subprocess.run(
+        cmd + [
+            "search", str(fan_dir), "--index", str(tmp_path / "idx"),
+            "-o", str(tmp_path / "m.csv"), "--cpu", "--no-pallas",
+            "--resume-dir", str(tmp_path / "units"),
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    manifest = json.loads(r.stdout.strip().splitlines()[-1])
+    assert manifest["matches"] >= 1
+    assert (tmp_path / "units" / "manifest.json").exists()
