@@ -64,6 +64,10 @@ class SearchConfig:
     chain_gap: int = 12              # max token gap when chaining hits
     batch_queries: int = 1 << 17     # query shingles per device call
     script_pad_multiple: int = 512   # script shingles padded to multiple
+    # device->host candidate budget per batch: candidates are threshold-
+    # compacted ON DEVICE (jnp.nonzero with static size) so only hits
+    # cross the PCIe/host boundary, not the full [NQ, k] top-k tables
+    max_candidates_per_batch: int = 1 << 16
     # Smith-Waterman scoring (word-level local alignment)
     sw_match: float = 2.0
     sw_mismatch: float = -1.0

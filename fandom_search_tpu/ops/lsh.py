@@ -286,11 +286,19 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
     interpret = engine.interpret
     s_emb_padded = engine._s_emb_padded
 
+    ns_true = engine.index.num_shingles
+
     @jax.jit
     def candidates(stream, s_emb, ns_valid, salts):
+        from fandom_search_tpu.search.engine import compact_candidates
+
         q_emb = embed_shingles(stream, scfg, salts=salts)
-        return lsh_topk(
+        vals, idx = lsh_topk(
             q_emb, lsh, s_emb, xcfg.k, scfg.dim, cfg, interpret=interpret
+        )
+        return compact_candidates(
+            vals, idx, xcfg.candidate_threshold, ns_true,
+            xcfg.k, xcfg.max_candidates_per_batch,
         )
 
     # keep the original call signature (stream, s_emb, ns_valid, salts)

@@ -37,7 +37,7 @@ from fandom_search_tpu.ops.smith_waterman import (
     sw_normalized_pallas,
 )
 from fandom_search_tpu.parallel.mesh import AXIS_SCRIPT, AXIS_WORKS, make_mesh
-from fandom_search_tpu.search.engine import SearchEngine
+from fandom_search_tpu.search.engine import SearchEngine, compact_candidates
 from fandom_search_tpu.search.index import ScriptIndex
 
 
@@ -143,12 +143,18 @@ class ShardedSearchEngine(SearchEngine):
         mesh_ = self.mesh
         up, ip = use_pallas, interpret
 
+        ns_true = index.num_shingles
+
         @functools.partial(jax.jit, static_argnames=())
         def candidates(stream, s_emb, ns_valid_shards, salts):
             q_emb = embed_shingles(stream, scfg, salts=salts)
-            return sharded_topk(
+            vals, idx = sharded_topk(
                 mesh_, q_emb, s_emb, ns_valid_shards,
                 xcfg.k, scfg.dim, use_pallas=up, interpret=ip,
+            )
+            return compact_candidates(
+                vals, idx, xcfg.candidate_threshold, ns_true,
+                xcfg.k, xcfg.max_candidates_per_batch,
             )
 
         # Adapt to the base-class call signature (s_emb/ns_valid ignored

@@ -20,6 +20,7 @@ Shapes are bucketed so JIT compiles once per bucket, not per work
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import Dict, Iterable, List, Sequence, Tuple
@@ -39,6 +40,8 @@ from fandom_search_tpu.search.chain import chain_hits
 from fandom_search_tpu.search.common import verify_window
 from fandom_search_tpu.search.index import ScriptIndex
 from fandom_search_tpu.search.types import CandidateHit, MatchRow
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -99,6 +102,8 @@ class SearchEngine:
             shingle_cfg=scfg,
             use_pallas=use_pallas,
             interpret=interpret,
+            threshold=xcfg.candidate_threshold,
+            max_out=xcfg.max_candidates_per_batch,
         )
         self._verify_fn = functools.partial(
             _verify_jit,
@@ -226,41 +231,46 @@ class SearchEngine:
 
         t0 = time.perf_counter()
         stream_dev = jnp.asarray(stream)
-        vals, idx = self._candidates_fn(
+        qpos_d, sidx_d, score_d, count_d = self._candidates_fn(
             stream_dev, self._s_emb_padded, self._ns_valid, self._salts
         )
-        vals = jax.block_until_ready(vals)
+        # only the compacted candidate triples cross device->host
+        count = int(np.asarray(count_d))
         stats.seconds_device_topk += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        vals_h = np.asarray(vals)
-        idx_h = np.asarray(idx)
-        ns = self.index.num_shingles
+        max_out = xcfg.max_candidates_per_batch
+        if count > max_out:
+            log.warning(
+                "candidate budget exceeded (%d > %d): raising "
+                "candidate_threshold or max_candidates_per_batch is "
+                "recommended; extra candidates dropped", count, max_out,
+            )
+        n_kept = min(count, max_out)
+        qpos = np.asarray(qpos_d)[:n_kept].astype(np.int64)
+        sidx = np.asarray(sidx_d)[:n_kept]
+        score = np.asarray(score_d)[:n_kept]
 
-        # Valid query positions: inside one work's token range. Fully
-        # vectorized dedup of (work, fan_pos, line) keeping the max score.
-        qpos, kj = np.nonzero(
-            (vals_h >= xcfg.candidate_threshold) & (idx_h < ns)
-        )
         starts = np.array([off for _, off, _ in spans], dtype=np.int64)
         lens = np.array([m for _, _, m in spans], dtype=np.int64)
         wids = [w for w, _, _ in spans]
         for _, off, m in spans:
             stats.num_query_shingles += max(0, m - scfg.n + 1)
 
-        if len(qpos) == 0:
+        if n_kept == 0:
             stats.seconds_host += time.perf_counter() - t0
             return []
+        # Valid query positions: inside one work's token range. Fully
+        # vectorized dedup of (work, fan_pos, line) keeping the max score.
         span_of = np.searchsorted(starts, qpos, side="right") - 1
         ok = (span_of >= 0) & (qpos <= starts[span_of] + lens[span_of] - scfg.n)
-        qpos, kj, span_of = qpos[ok], kj[ok], span_of[ok]
+        qpos, sidx, score, span_of = qpos[ok], sidx[ok], score[ok], span_of[ok]
         if len(qpos) == 0:
             stats.seconds_host += time.perf_counter() - t0
             return []
 
         local_pos = (qpos - starts[span_of]).astype(np.int64)
-        line = self.index.shingle_line[idx_h[qpos, kj]].astype(np.int64)
-        score = vals_h[qpos, kj]
+        line = self.index.shingle_line[sidx].astype(np.int64)
         # dedup on (span, pos, line) keeping max score: sort by key then
         # score descending, keep first of each key group
         order = np.lexsort((-score, line, local_pos, span_of))
@@ -329,30 +339,59 @@ class SearchEngine:
 # ---------------------------------------------------------------------------
 
 
+def compact_candidates(vals, idx, threshold, ns, k: int, max_out: int):
+    """Threshold-compact the [NQ, k] top-k ON DEVICE.
+
+    Only candidate hits cross the device->host boundary: returns
+    (qpos i32 [max_out] with -1 padding, script_idx i32, score f32,
+    true_count).  true_count can exceed max_out — the engine warns and
+    the caller can rerun the batch with a bigger budget.
+    """
+    ok = jnp.logical_and(vals >= threshold, idx < ns)     # [NQ, k]
+    flat = ok.ravel()
+    (pos,) = jnp.nonzero(flat, size=max_out, fill_value=-1)
+    safe = jnp.maximum(pos, 0)
+    qpos = (safe // k).astype(jnp.int32)
+    score = vals.ravel()[safe]
+    sidx = idx.ravel()[safe]
+    valid = pos >= 0
+    return (
+        jnp.where(valid, qpos, -1),
+        jnp.where(valid, sidx, 0),
+        score,
+        jnp.sum(flat.astype(jnp.int32)),
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "dim", "shingle_cfg", "use_pallas", "interpret"),
+    static_argnames=(
+        "k", "dim", "shingle_cfg", "use_pallas", "interpret",
+        "threshold", "max_out",
+    ),
 )
 def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
-                    shingle_cfg, use_pallas, interpret):
+                    shingle_cfg, use_pallas, interpret, threshold, max_out):
     q_emb = embed_shingles(stream, shingle_cfg, salts=salts)  # [NQ, D] int8
     if use_pallas:
         qp, _ = pad_rows(q_emb, 256)
         vals, idx = topk_dot_pallas(
             qp, s_emb_padded, ns_valid, k, dim, interpret=interpret
         )
-        return vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
-    # jnp path: mask padded script rows to NEG_INF via a validity column
-    scores = jax.lax.dot_general(
-        q_emb.astype(jnp.bfloat16),
-        s_emb_padded.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    col = jnp.arange(s_emb_padded.shape[0], dtype=jnp.int32)[None, :]
-    scores = jnp.where(col < ns_valid, scores, NEG_INF)
-    vals, idx = jax.lax.top_k(scores, k)
-    return vals / dim, idx.astype(jnp.int32)
+        vals, idx = vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
+    else:
+        # jnp path: mask padded script rows via a validity column
+        scores = jax.lax.dot_general(
+            q_emb.astype(jnp.bfloat16),
+            s_emb_padded.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jnp.arange(s_emb_padded.shape[0], dtype=jnp.int32)[None, :]
+        scores = jnp.where(col < ns_valid, scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, k)
+        vals, idx = vals / dim, idx.astype(jnp.int32)
+    return compact_candidates(vals, idx, threshold, ns_valid, k, max_out)
 
 
 @functools.partial(
