@@ -66,19 +66,28 @@ def main() -> int:
     log(f"CPU oracle: {cpu_nq}x{ns} in {cpu_dt:.3f}s -> {cpu_rate/1e6:.1f} M pairs/s")
 
     # ---- TPU fused kernel ----------------------------------------------
+    # NOTE: on the axon remote platform block_until_ready does not wait
+    # for remote completion, so we sync by reducing to a scalar ON DEVICE
+    # and transferring those 4 bytes.
+    import jax.numpy as jnp
+
     use_pallas = platform != "cpu"
     interpret = platform == "cpu"
-    vals, idx = topk_dot(
-        q_emb, s_emb, k, dim, use_pallas=use_pallas, interpret=interpret
-    )
-    jax.block_until_ready(vals)  # compile + warm
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    q_dev, s_dev = jnp.asarray(q_emb), jnp.asarray(s_emb)
+
+    def run_once():
         vals, idx = topk_dot(
-            q_emb, s_emb, k, dim, use_pallas=use_pallas, interpret=interpret
+            q_dev, s_dev, k, dim, use_pallas=use_pallas, interpret=interpret
         )
-    jax.block_until_ready(vals)
+        return vals
+
+    _ = np.asarray(jnp.sum(run_once()))  # compile + warm
+    iters = 10
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(iters):
+        acc = jnp.sum(run_once())
+    _ = np.asarray(acc)  # scalar sync
     dev_dt = (time.perf_counter() - t0) / iters
     dev_rate = nq * ns / dev_dt
     log(f"device fused kernel: {nq}x{ns} in {dev_dt*1e3:.1f}ms "

@@ -63,7 +63,7 @@ class SearchConfig:
     max_line_tokens: int = 64        # script line truncation for verify
     chain_gap: int = 12              # max token gap when chaining hits
     batch_queries: int = 1 << 17     # query shingles per device call
-    script_pad_multiple: int = 512   # script shingles padded to multiple
+    script_pad_multiple: int = 2048  # script shingles padded to multiple
     # device->host candidate budget per batch: candidates are threshold-
     # compacted ON DEVICE (jnp.nonzero with static size) so only hits
     # cross the PCIe/host boundary, not the full [NQ, k] top-k tables

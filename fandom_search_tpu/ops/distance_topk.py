@@ -161,7 +161,7 @@ def topk_dot_pallas(
     dim: int,
     *,
     tile_q: int = 256,
-    tile_s: int = 512,
+    tile_s: int = 2048,
     interpret: bool = False,
     compute: str = "bf16",
 ) -> Tuple[jax.Array, jax.Array]:
@@ -228,7 +228,7 @@ def topk_dot(
     use_pallas: bool = True,
     interpret: bool = False,
     tile_q: int = 256,
-    tile_s: int = 512,
+    tile_s: int = 2048,
     compute: str = "bf16",
 ):
     """Dispatcher with automatic padding. Returns (vals, idx) for true rows."""

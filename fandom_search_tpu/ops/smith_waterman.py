@@ -132,6 +132,7 @@ def _sw_kernel(
     match: float,
     mismatch: float,
     gap: float,
+    dtype,
 ):
     tb = b_ref.shape[0]
     w = la + lb
@@ -141,10 +142,11 @@ def _sw_kernel(
     valid_j = j_ids < len_b
     b_tok = b_ref[:]
     lane0 = j_ids == 0
+    zero = jnp.asarray(0.0, dtype)
 
     def shift_right_f(x):
         rolled = pltpu.roll(x, shift=1, axis=1)
-        return jnp.where(lane0, 0.0, rolled)
+        return jnp.where(lane0, zero, rolled)
 
     # a's anti-diagonal slice via a circularly rolling buffer: with
     # state_d = roll(a_ext, -(la-1) + d), lanes [0, lb) of state_d hold
@@ -154,9 +156,9 @@ def _sw_kernel(
     # lives in VMEM scratch, not loop carries — Mosaic cannot unify the
     # layout of splat-constant carry inits with computed loop outputs.
     state_ref[:] = pltpu.roll(a_ext_ref[:], shift=(w - (la - 1)) % w, axis=1)
-    hprev_ref[:] = jnp.zeros((tb, lb), jnp.float32)
-    hpp_ref[:] = jnp.zeros((tb, lb), jnp.float32)
-    best_ref[:] = jnp.zeros((tb, lb), jnp.float32)
+    hprev_ref[:] = jnp.zeros((tb, lb), dtype)
+    hpp_ref[:] = jnp.zeros((tb, lb), dtype)
+    best_ref[:] = jnp.zeros((tb, lb), dtype)
 
     def step(d, _):
         h_prev = hprev_ref[:]
@@ -168,13 +170,17 @@ def _sw_kernel(
             jnp.logical_and(i_ids >= 0, i_ids < len_a), valid_j
         )
 
-        sub = jnp.where(a_diag == b_tok, match, mismatch)
+        sub = jnp.where(
+            a_diag == b_tok,
+            jnp.asarray(match, dtype),
+            jnp.asarray(mismatch, dtype),
+        )
         h = jnp.maximum(
             shift_right_f(hpp_ref[:]) + sub,
-            jnp.maximum(shift_right_f(h_prev), h_prev) + gap,
+            jnp.maximum(shift_right_f(h_prev), h_prev) + jnp.asarray(gap, dtype),
         )
-        h = jnp.maximum(h, 0.0)
-        h = jnp.where(valid, h, 0.0)
+        h = jnp.maximum(h, zero)
+        h = jnp.where(valid, h, zero)
         best_ref[:] = jnp.maximum(best_ref[:], h)
         hpp_ref[:] = h_prev
         hprev_ref[:] = h
@@ -183,7 +189,8 @@ def _sw_kernel(
 
     jax.lax.fori_loop(0, la + lb - 1, step, 0)
     denom = match * jnp.maximum(1, jnp.minimum(len_a, len_b)).astype(jnp.float32)
-    out_ref[:] = jnp.max(best_ref[:], axis=1, keepdims=True) / denom
+    best = jnp.max(best_ref[:], axis=1, keepdims=True).astype(jnp.float32)
+    out_ref[:] = best / denom
 
 
 @functools.partial(
@@ -195,12 +202,17 @@ def _sw_pallas_call(
 ):
     bsz, la = a.shape
     lb = b.shape[1]
+    # bf16 DP state would double VPU throughput and is exact for small
+    # integer scoring params, but Mosaic cannot lane-rotate non-32-bit
+    # vectors ("Rotate with non-32-bit data"), so the state stays f32.
+    dtype = jnp.float32
     # reverse(a) ++ pad: the kernel's circularly rolling diagonal buffer
     a_ext = jnp.concatenate(
         [a[:, ::-1], jnp.zeros((bsz, lb), a.dtype)], axis=1
     )
     kernel = functools.partial(
-        _sw_kernel, la=la, lb=lb, match=match, mismatch=mismatch, gap=gap
+        _sw_kernel, la=la, lb=lb, match=match, mismatch=mismatch, gap=gap,
+        dtype=dtype,
     )
     return pl.pallas_call(
         kernel,
@@ -214,10 +226,10 @@ def _sw_pallas_call(
         out_specs=pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_b, lb), jnp.float32),
-            pltpu.VMEM((tile_b, lb), jnp.float32),
+            pltpu.VMEM((tile_b, lb), dtype),
+            pltpu.VMEM((tile_b, lb), dtype),
             pltpu.VMEM((tile_b, la + lb), jnp.uint32),
-            pltpu.VMEM((tile_b, lb), jnp.float32),
+            pltpu.VMEM((tile_b, lb), dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=10 * bsz * la * lb,

@@ -65,7 +65,7 @@ def sharded_topk(
     use_pallas: bool,
     interpret: bool = False,
     tile_q: int = 256,
-    tile_s: int = 512,
+    tile_s: int = 2048,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact global top-k with a works x script sharded mesh."""
     script_shards = mesh.shape[AXIS_SCRIPT]
