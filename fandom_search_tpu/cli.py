@@ -24,18 +24,26 @@ from pathlib import Path
 
 
 def _add_search_flags(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--k", type=int, default=10, help="top-k per query shingle")
-    p.add_argument("--shingle-n", type=int, default=6, help="words per shingle")
+    # Defaults are None so a persisted-index config (`search --index`)
+    # can tell "user asked for this" from "flag left alone": only
+    # explicitly-passed flags overlay the stored config.
+    p.add_argument("--k", type=int, default=None,
+                   help="top-k per query shingle (default 10)")
+    p.add_argument("--shingle-n", type=int, default=None,
+                   help="words per shingle (default 6; index-bound)")
     p.add_argument(
-        "--candidate-threshold", type=float, default=3.5,
-        help="min estimated matching words (of n) to keep a candidate",
+        "--candidate-threshold", type=float, default=None,
+        help="min estimated matching words (of n) to keep a candidate "
+             "(default 3.5)",
     )
     p.add_argument(
-        "--verify-threshold", type=float, default=0.35,
-        help="min normalized alignment score to keep a hit",
+        "--verify-threshold", type=float, default=None,
+        help="min normalized alignment score to keep a hit (default 0.35)",
     )
-    p.add_argument("--chain-gap", type=int, default=12)
-    p.add_argument("--batch-queries", type=int, default=1 << 17)
+    p.add_argument("--chain-gap", type=int, default=None,
+                   help="max token gap when chaining hits (default 12)")
+    p.add_argument("--batch-queries", type=int, default=None,
+                   help="query shingles per device call (default 131072)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the jnp fallback instead of Pallas kernels")
     p.add_argument("--interpret", action="store_true",
@@ -43,10 +51,44 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy reference pipeline instead of TPU")
-    p.add_argument("--shards", type=int, default=1,
-                   help="shard the corpus across N devices (data parallel)")
+    p.add_argument("--shards", type=int, default=None,
+                   help="shard the corpus across N devices (data parallel; "
+                        "shorthand for --mesh Nx1)")
+    p.add_argument("--mesh", default=None, metavar="WxS",
+                   help="device mesh: W works-shards x S script-shards "
+                        "(e.g. 4x2)")
     p.add_argument("--lsh", action="store_true",
                    help="use the LSH prefilter for candidate generation")
+
+
+def _mesh_from_args(args) -> "MeshConfig | None":
+    from fandom_search_tpu.config import MeshConfig
+
+    if args.mesh is not None:
+        try:
+            w, s = (int(x) for x in args.mesh.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"error: --mesh must look like WxS, got {args.mesh!r}")
+        return MeshConfig(works=w, script=s)
+    if args.shards is not None:
+        return MeshConfig(works=args.shards)
+    return None
+
+
+def _runtime_overrides(args) -> dict:
+    """Runtime-only SearchConfig fields the user explicitly set."""
+    out = {}
+    for field, attr in (
+        ("k", "k"),
+        ("candidate_threshold", "candidate_threshold"),
+        ("verify_threshold", "verify_threshold"),
+        ("chain_gap", "chain_gap"),
+        ("batch_queries", "batch_queries"),
+    ):
+        v = getattr(args, attr)
+        if v is not None:
+            out[field] = v
+    return out
 
 
 def _pipeline_config(args) -> "PipelineConfig":
@@ -54,18 +96,39 @@ def _pipeline_config(args) -> "PipelineConfig":
         LSHConfig, MeshConfig, PipelineConfig, SearchConfig, ShingleConfig,
     )
 
-    return PipelineConfig(
-        shingle=ShingleConfig(n=args.shingle_n),
-        search=SearchConfig(
-            k=args.k,
-            candidate_threshold=args.candidate_threshold,
-            verify_threshold=args.verify_threshold,
-            chain_gap=args.chain_gap,
-            batch_queries=args.batch_queries,
-        ),
-        lsh=LSHConfig(),
-        mesh=MeshConfig(works=args.shards),
+    shingle = ShingleConfig() if args.shingle_n is None else ShingleConfig(
+        n=args.shingle_n
     )
+    return PipelineConfig(
+        shingle=shingle,
+        search=dataclasses.replace(SearchConfig(), **_runtime_overrides(args)),
+        lsh=LSHConfig(),
+        mesh=_mesh_from_args(args) or MeshConfig(),
+    )
+
+
+def _overlay_runtime(cfg: "PipelineConfig", args) -> "PipelineConfig":
+    """Overlay explicit runtime flags onto a persisted-index config.
+
+    Index-bound knobs (shingle width, embedding dim, max_line_tokens)
+    are baked into the stored embeddings and cannot be overridden;
+    warn if the user tries.
+    """
+    if args.shingle_n is not None and args.shingle_n != cfg.shingle.n:
+        print(
+            f"warning: --shingle-n {args.shingle_n} ignored; the loaded "
+            f"index was built with n={cfg.shingle.n}",
+            file=sys.stderr,
+        )
+    over = _runtime_overrides(args)
+    if over:
+        cfg = dataclasses.replace(
+            cfg, search=dataclasses.replace(cfg.search, **over)
+        )
+    mesh = _mesh_from_args(args)
+    if mesh is not None:
+        cfg = dataclasses.replace(cfg, mesh=mesh)
+    return cfg
 
 
 def cmd_scrape(args) -> int:
@@ -152,6 +215,7 @@ def cmd_search(args) -> int:
         from fandom_search_tpu.search.persist import load_index
 
         index, cfg = load_index(Path(args.index))
+        cfg = _overlay_runtime(cfg, args)
         lines = index.lines
     else:
         if not args.script:
@@ -176,19 +240,21 @@ def cmd_search(args) -> int:
 
         rows, stats = search_works_oracle(works, index, cfg)
         stats_d = dataclasses.asdict(stats)
-    elif args.shards > 1:
-        from fandom_search_tpu.parallel.sharded import ShardedSearchEngine
-
-        eng = ShardedSearchEngine(index, cfg, use_pallas=not args.no_pallas)
-        rows, stats = eng.search_works(works)
-        stats_d = dataclasses.asdict(stats)
     else:
-        from fandom_search_tpu.search.engine import SearchEngine
+        if cfg.mesh.num_devices > 1:
+            from fandom_search_tpu.parallel.sharded import ShardedSearchEngine
 
-        eng = SearchEngine(
-            index, cfg,
-            use_pallas=not args.no_pallas, interpret=args.interpret,
-        )
+            eng = ShardedSearchEngine(
+                index, cfg,
+                use_pallas=not args.no_pallas, interpret=args.interpret,
+            )
+        else:
+            from fandom_search_tpu.search.engine import SearchEngine
+
+            eng = SearchEngine(
+                index, cfg,
+                use_pallas=not args.no_pallas, interpret=args.interpret,
+            )
         if args.lsh:
             from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
 
@@ -198,7 +264,7 @@ def cmd_search(args) -> int:
 
             runner = ResumableRunner(eng, Path(args.resume_dir))
             rows = runner.run(works)
-            stats_d = {"resumable": True, "units": len(runner.manifest["units"])}
+            stats_d = runner.stats_summary()
         else:
             rows, stats = eng.search_works(works)
             stats_d = dataclasses.asdict(stats)
@@ -242,9 +308,11 @@ def cmd_matrix(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    # module-relative so it works from an installed wheel, in a fresh
+    # interpreter so jax platform/device config starts clean
     import subprocess
 
-    return subprocess.call([sys.executable, str(Path(__file__).parent.parent / "bench.py")])
+    return subprocess.call([sys.executable, "-m", "fandom_search_tpu.bench"])
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -35,15 +35,28 @@ _lib_failed = False
 
 
 def _native_dir() -> Path:
-    return Path(__file__).resolve().parent.parent.parent / "native"
+    return Path(__file__).resolve().parent.parent / "native"
+
+
+def _build_dir() -> Path:
+    """Build output dir: next to the source if writable, else a cache."""
+    build = _native_dir() / "build"
+    try:
+        build.mkdir(exist_ok=True)
+        return build
+    except OSError:  # installed read-only (site-packages)
+        import tempfile
+
+        build = Path(tempfile.gettempdir()) / "fandom_search_tpu_native"
+        build.mkdir(parents=True, exist_ok=True)
+        return build
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = _native_dir() / "fastingest.cpp"
     if not src.exists():
         return None
-    build = _native_dir() / "build"
-    build.mkdir(exist_ok=True)
+    build = _build_dir()
     so = build / f"libfastingest_v{_ABI_VERSION}.so"
     if not so.exists():
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
@@ -93,7 +106,12 @@ def fast_tokenize(text: str) -> Tokenized:
     lib = get_lib()
     if lib is None:
         return tokenize(text)
-    data = text.encode("utf-8")
+    try:
+        data = text.encode("utf-8")
+    except UnicodeEncodeError:
+        # lone surrogates (e.g. files read with errors='surrogateescape')
+        # can't round-trip through the C ABI; the Python path handles them
+        return tokenize(text)
     cap = max(1, len(text))
     hashes = np.empty(cap, dtype=np.uint32)
     starts = np.empty(cap, dtype=np.int64)

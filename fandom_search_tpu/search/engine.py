@@ -135,8 +135,17 @@ class SearchEngine:
             if need == 0:
                 continue
             if need > cap:
-                # Pathological work: split into overlapping chunks so no
-                # shingle is lost (overlap n-1 tokens).
+                # Pathological work: split into overlapping chunks.
+                # Overlap window_tokens-1 (not just n-1) so every
+                # shingle sees its FULL verification window inside at
+                # least one chunk — chunk starts are cap-ov apart and
+                # each chunk fully covers windows starting in its first
+                # cap-w+1 positions, so ov >= w-1 guarantees coverage.
+                # Duplicated hits in the overlap dedup later by
+                # (work, fan_pos, line) keeping the max verify score.
+                ov = min(
+                    max(n - 1, self.cfg.search.window_tokens - 1), cap - 1
+                )
                 pos = 0
                 while pos < need:
                     end = min(need, pos + cap)
@@ -149,7 +158,7 @@ class SearchEngine:
                     yield from self._flush([(f"{wid}\x00{pos}", piece)], t_pad)
                     if end == need:
                         break
-                    pos = end - (n - 1)
+                    pos = end - ov
                 continue
             if cur_len + need > cap and cur:
                 yield from self._flush(cur, t_pad)

@@ -64,14 +64,25 @@ def topk_scores_np(
         q1 = min(nq, q0 + block)
         scores = query_emb[q0:q1].astype(np.int32) @ st  # [b, NS]
         scores_f = scores.astype(np.float32) / dim
-        # argpartition gives k best; stable sort by (-score, index) for ties
+        # argpartition alone picks an ARBITRARY subset among values tied
+        # at the k-th boundary; the device kernels (lax.top_k and the
+        # Pallas merge) resolve such ties to the lowest index.  Use the
+        # partition only to find the k-th value, then select exactly:
+        # every index strictly above it, plus the lowest-index ties.
         part = np.argpartition(-scores_f, k_eff - 1, axis=1)[:, :k_eff]
+        vk = np.take_along_axis(scores_f, part, axis=1).min(axis=1)  # [b]
+        gt = scores_f > vk[:, None]
+        eq = scores_f == vk[:, None]
+        need = k_eff - gt.sum(axis=1)
+        take_eq = eq & (np.cumsum(eq, axis=1) <= need[:, None])
+        rows_sel, cols_sel = np.nonzero(gt | take_eq)  # k_eff per row, idx-asc
+        part = cols_sel.reshape(q1 - q0, k_eff)
         pv = np.take_along_axis(scores_f, part, axis=1)
         order = np.lexsort((part, -pv), axis=1)
-        part = np.take_along_axis(part, order, axis=1)
-        pv = np.take_along_axis(pv, order, axis=1)
-        vals[q0:q1, :k_eff] = pv
-        idxs[q0:q1, :k_eff] = part.astype(np.int32)
+        vals[q0:q1, :k_eff] = np.take_along_axis(pv, order, axis=1)
+        idxs[q0:q1, :k_eff] = np.take_along_axis(part, order, axis=1).astype(
+            np.int32
+        )
     return vals, idxs
 
 

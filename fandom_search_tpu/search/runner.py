@@ -68,12 +68,30 @@ class ResumableRunner:
                 "works": len(unit),
                 "rows": len(rows),
                 "seconds": round(time.perf_counter() - t0, 3),
+                "query_shingles": stats.num_query_shingles,
                 "candidates": stats.num_candidates,
                 "verified": stats.num_verified,
+                "seconds_device_topk": round(stats.seconds_device_topk, 3),
+                "seconds_device_verify": round(stats.seconds_device_verify, 3),
+                "seconds_host": round(stats.seconds_host, 3),
             }
             self._write_manifest()
             all_rows.extend(rows)
         return all_rows
+
+    def stats_summary(self) -> Dict:
+        """Aggregate per-unit stats (including units resumed from disk)."""
+        units = self.manifest["units"]
+        total = {"resumable": True, "units": len(units)}
+        for key in (
+            "works", "rows", "seconds", "query_shingles", "candidates",
+            "verified", "seconds_device_topk", "seconds_device_verify",
+            "seconds_host",
+        ):
+            total[key] = round(
+                sum(u.get(key, 0) for u in units.values()), 3
+            )
+        return total
 
     def _write_manifest(self) -> None:
         tmp = self.manifest_path.with_suffix(".json.tmp")

@@ -64,3 +64,18 @@ def test_empty_inputs():
     s = np.zeros((5, DIM), dtype=np.int8)
     vals, idx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
     assert vals.shape == (0, K) and idx.shape == (0, K)
+
+
+def test_oracle_boundary_ties_lowest_index(rng):
+    # >k exactly-tied scores at the k-th boundary: the oracle must pick
+    # the LOWEST indices, matching lax.top_k and the Pallas merge rule
+    # (argpartition alone picks an arbitrary tied subset).
+    base = rng.integers(-3, 4, size=(5, DIM)).astype(np.int8)
+    s = base[rng.integers(0, 5, size=300)]
+    q = base[rng.integers(0, 5, size=64)]
+    ovals, oidx = topk_scores_np(q, s, K, DIM)
+    jvals, jidx = topk_dot_jnp(q, s, K, DIM)
+    np.testing.assert_allclose(ovals, np.asarray(jvals), atol=1e-6)
+    np.testing.assert_array_equal(oidx, np.asarray(jidx))
+    pvals, pidx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(oidx, np.asarray(pidx))

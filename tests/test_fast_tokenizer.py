@@ -73,3 +73,13 @@ def test_tokenize_many():
         ref = tokenize(v)
         assert out[k].tokens == ref.tokens
         assert np.array_equal(out[k].hashes, ref.hashes)
+
+
+def test_lone_surrogate_falls_back():
+    # surrogateescape-decoded bytes produce lone surrogates that cannot
+    # encode to utf-8; the native path must fall back, not crash
+    s = b"hello \xff world".decode("utf-8", errors="surrogateescape")
+    out = fast_tokenize(s)
+    ref = tokenize(s)
+    assert out.tokens == ref.tokens
+    assert (out.hashes == ref.hashes).all()
