@@ -60,7 +60,10 @@ class SearchConfig:
     candidate_threshold: float = 3.5  # min est. matching words (of n)
     verify_threshold: float = 0.35    # min normalized alignment score
     window_tokens: int = 64          # fan-side context window for verify
-    max_line_tokens: int = 64        # script line truncation for verify
+    # line-side verification segment width: long script lines are NOT
+    # truncated — verification reads a segment this wide centered on
+    # the matched shingle's position (search/common.py line_segment)
+    max_line_tokens: int = 64
     chain_gap: int = 12              # max token gap when chaining hits
     batch_queries: int = 1 << 17     # query shingles per device call
     script_pad_multiple: int = 2048  # script shingles padded to multiple

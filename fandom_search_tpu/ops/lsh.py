@@ -288,8 +288,8 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
 
     ns_true = engine.index.num_shingles
 
-    @jax.jit
-    def candidates(stream, s_emb, ns_valid, salts):
+    @functools.partial(jax.jit, static_argnames=("max_out",))
+    def candidates(stream, s_emb, ns_valid, salts, *, max_out):
         from fandom_search_tpu.search.engine import compact_candidates
 
         q_emb = embed_shingles(stream, scfg, salts=salts)
@@ -298,10 +298,12 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
         )
         return compact_candidates(
             vals, idx, xcfg.candidate_threshold, ns_true,
-            xcfg.k, xcfg.max_candidates_per_batch,
+            xcfg.k, max_out,
         )
 
-    # keep the original call signature (stream, s_emb, ns_valid, salts)
-    engine._candidates_fn = lambda stream, s_emb, ns_valid, salts: candidates(
-        stream, s_emb_padded, ns_valid, salts
+    # keep the engine call signature (stream, s_emb, ns_valid, salts)
+    engine._candidates_fn = (
+        lambda stream, s_emb, ns_valid, salts, max_out: candidates(
+            stream, s_emb_padded, ns_valid, salts, max_out=max_out
+        )
     )

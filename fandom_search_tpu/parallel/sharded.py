@@ -145,8 +145,8 @@ class ShardedSearchEngine(SearchEngine):
 
         ns_true = index.num_shingles
 
-        @functools.partial(jax.jit, static_argnames=())
-        def candidates(stream, s_emb, ns_valid_shards, salts):
+        @functools.partial(jax.jit, static_argnames=("max_out",))
+        def candidates(stream, s_emb, ns_valid_shards, salts, *, max_out):
             q_emb = embed_shingles(stream, scfg, salts=salts)
             vals, idx = sharded_topk(
                 mesh_, q_emb, s_emb, ns_valid_shards,
@@ -154,13 +154,14 @@ class ShardedSearchEngine(SearchEngine):
             )
             return compact_candidates(
                 vals, idx, xcfg.candidate_threshold, ns_true,
-                xcfg.k, xcfg.max_candidates_per_batch,
+                xcfg.k, max_out,
             )
 
         # Adapt to the base-class call signature (s_emb/ns_valid ignored
         # in favor of the sharded copies).
-        self._candidates_fn = lambda stream, _s, _n, salts: candidates(
-            stream, self._s_emb_sharded, self._ns_valid_shards, salts
+        self._candidates_fn = lambda stream, _s, _n, salts, max_out: candidates(
+            stream, self._s_emb_sharded, self._ns_valid_shards, salts,
+            max_out=max_out,
         )
 
         tile_b = 256
@@ -186,15 +187,18 @@ class ShardedSearchEngine(SearchEngine):
         )
 
         @jax.jit
-        def verify(stream, starts_a, len_a, line_tokens, line_ids, line_lengths):
+        def verify(stream, starts_a, len_a, script_stream, starts_b, len_b):
             window = xcfg.window_tokens
             offs = jnp.arange(window, dtype=jnp.int32)[None, :]
             gather_idx = jnp.clip(
                 starts_a[:, None] + offs, 0, stream.shape[0] - 1
             )
             a = jnp.take(stream, gather_idx)
-            b = jnp.take(line_tokens, line_ids, axis=0)
-            len_b = jnp.take(line_lengths, line_ids)
+            offs_b = jnp.arange(xcfg.max_line_tokens, dtype=jnp.int32)[None, :]
+            gather_b = jnp.clip(
+                starts_b[:, None] + offs_b, 0, script_stream.shape[0] - 1
+            )
+            b = jnp.take(script_stream, gather_b)
             # pad batch to works * tile_b so each shard is tile-aligned
             bsz = a.shape[0]
             unit = works * tile_b

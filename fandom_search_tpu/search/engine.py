@@ -37,7 +37,7 @@ from fandom_search_tpu.data.fast_tokenizer import tokenize_many
 from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_jnp, topk_dot_pallas
 from fandom_search_tpu.ops.smith_waterman import sw_normalized_jnp, sw_normalized_pallas
 from fandom_search_tpu.search.chain import chain_hits
-from fandom_search_tpu.search.common import verify_window
+from fandom_search_tpu.search.common import line_segment
 from fandom_search_tpu.search.index import ScriptIndex
 from fandom_search_tpu.search.types import CandidateHit, MatchRow
 
@@ -92,8 +92,17 @@ class SearchEngine:
             s_emb, xcfg.script_pad_multiple
         )
         self._s_emb_padded = jax.device_put(self._s_emb_padded)
-        self._line_tokens = jax.device_put(jnp.asarray(index.line_tokens))
-        self._line_lengths = jnp.asarray(index.line_lengths)
+        # script token stream for line-side verify segments (padded so
+        # the clip-gather always has one valid element)
+        stream = index.stream_hashes
+        if stream.shape[0] == 0:
+            stream = np.zeros((1,), dtype=np.uint32)
+        self._script_stream = jax.device_put(jnp.asarray(stream))
+
+        # Candidate budget grows (pow2) whenever a batch overflows, so
+        # no candidate is ever dropped; the budget is sticky across
+        # batches to amortize the recompile.
+        self._cand_budget = xcfg.max_candidates_per_batch
 
         self._candidates_fn = functools.partial(
             _candidates_jit,
@@ -103,11 +112,11 @@ class SearchEngine:
             use_pallas=use_pallas,
             interpret=interpret,
             threshold=xcfg.candidate_threshold,
-            max_out=xcfg.max_candidates_per_batch,
         )
         self._verify_fn = functools.partial(
             _verify_jit,
             window=xcfg.window_tokens,
+            max_lt=xcfg.max_line_tokens,
             search_cfg=xcfg,
             use_pallas=use_pallas,
             interpret=interpret,
@@ -240,25 +249,31 @@ class SearchEngine:
 
         t0 = time.perf_counter()
         stream_dev = jnp.asarray(stream)
-        qpos_d, sidx_d, score_d, count_d = self._candidates_fn(
-            stream_dev, self._s_emb_padded, self._ns_valid, self._salts
-        )
-        # only the compacted candidate triples cross device->host
-        count = int(np.asarray(count_d))
-        stats.seconds_device_topk += time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        max_out = xcfg.max_candidates_per_batch
-        if count > max_out:
-            log.warning(
-                "candidate budget exceeded (%d > %d): raising "
-                "candidate_threshold or max_candidates_per_batch is "
-                "recommended; extra candidates dropped", count, max_out,
+        while True:
+            qpos_d, sidx_d, score_d, count_d = self._candidates_fn(
+                stream_dev, self._s_emb_padded, self._ns_valid, self._salts,
+                max_out=self._cand_budget,
             )
-        n_kept = min(count, max_out)
+            # only the compacted candidate triples cross device->host
+            count = int(np.asarray(count_d))
+            if count <= self._cand_budget:
+                break
+            # Overflow: rerun the batch with a bigger (pow2) budget so
+            # nothing is dropped.  The budget is sticky, so a quote-
+            # dense corpus pays the recompile once, not per batch.
+            new_budget = _next_pow2(count, self._cand_budget * 2)
+            log.info(
+                "candidate budget exceeded (%d > %d); retrying batch "
+                "with budget %d", count, self._cand_budget, new_budget,
+            )
+            self._cand_budget = new_budget
+        n_kept = count
         qpos = np.asarray(qpos_d)[:n_kept].astype(np.int64)
         sidx = np.asarray(sidx_d)[:n_kept]
         score = np.asarray(score_d)[:n_kept]
+        stats.seconds_device_topk += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
 
         starts = np.array([off for _, off, _ in spans], dtype=np.int64)
         lens = np.array([m for _, _, m in spans], dtype=np.int64)
@@ -281,10 +296,13 @@ class SearchEngine:
         local_pos = (qpos - starts[span_of]).astype(np.int64)
         line = self.index.shingle_line[sidx].astype(np.int64)
         # dedup on (span, pos, line) keeping max score: sort by key then
-        # score descending, keep first of each key group
+        # score descending, keep first of each key group (stable, so
+        # score ties keep the earliest flat candidate — same winner as
+        # the oracle's strictly-greater rule)
         order = np.lexsort((-score, line, local_pos, span_of))
-        sp_s, pos_s, ln_s, sc_s = (
-            span_of[order], local_pos[order], line[order], score[order]
+        sp_s, pos_s, ln_s, sc_s, si_s = (
+            span_of[order], local_pos[order], line[order], score[order],
+            sidx[order],
         )
         first = np.ones(len(sp_s), dtype=bool)
         first[1:] = (
@@ -292,8 +310,8 @@ class SearchEngine:
             | (pos_s[1:] != pos_s[:-1])
             | (ln_s[1:] != ln_s[:-1])
         )
-        sp_u, pos_u, ln_u, sc_u = (
-            sp_s[first], pos_s[first], ln_s[first], sc_s[first]
+        sp_u, pos_u, ln_u, sc_u, si_u = (
+            sp_s[first], pos_s[first], ln_s[first], sc_s[first], si_s[first]
         )
         ncand = len(sp_u)
         stats.num_candidates += ncand
@@ -310,21 +328,29 @@ class SearchEngine:
         a1 = np.minimum(span_lens, a0 + w)
         starts_a = (starts[sp_u] + a0).astype(np.int32)
         len_a = (a1 - a0).astype(np.int32)
-        line_ids = ln_u.astype(np.int32)
+
+        # line-side segment anchored at the matched script shingle
+        # (full coverage of arbitrarily long lines; common.line_segment)
+        anchor = self.index.shingle_anchor[si_u]
+        llen = self.index.line_lengths[ln_u]
+        b0, len_b = line_segment(anchor, llen, scfg, xcfg)
+        starts_b = (self.index.line_start[ln_u] + b0).astype(np.int32)
+        len_b = len_b.astype(np.int32)
 
         bucket = _next_pow2(ncand, 256)
         pad = bucket - ncand
         if pad:
             starts_a = np.pad(starts_a, (0, pad))
             len_a = np.pad(len_a, (0, pad))
-            line_ids = np.pad(line_ids, (0, pad))
+            starts_b = np.pad(starts_b, (0, pad))
+            len_b = np.pad(len_b, (0, pad))
         scores = self._verify_fn(
             stream_dev,
             jnp.asarray(starts_a),
             jnp.asarray(len_a),
-            self._line_tokens,
-            jnp.asarray(line_ids),
-            self._line_lengths,
+            self._script_stream,
+            jnp.asarray(starts_b),
+            jnp.asarray(len_b),
         )
         scores = np.asarray(jax.block_until_ready(scores))[:ncand]
         stats.seconds_device_verify += time.perf_counter() - t0
@@ -353,8 +379,9 @@ def compact_candidates(vals, idx, threshold, ns, k: int, max_out: int):
 
     Only candidate hits cross the device->host boundary: returns
     (qpos i32 [max_out] with -1 padding, script_idx i32, score f32,
-    true_count).  true_count can exceed max_out — the engine warns and
-    the caller can rerun the batch with a bigger budget.
+    true_count).  true_count can exceed max_out — the engine detects
+    that and reruns the batch with a doubled (pow2) budget, so no
+    candidate is ever dropped.
     """
     ok = jnp.logical_and(vals >= threshold, idx < ns)     # [NQ, k]
     flat = ok.ravel()
@@ -405,15 +432,19 @@ def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "search_cfg", "use_pallas", "interpret"),
+    static_argnames=("window", "max_lt", "search_cfg", "use_pallas",
+                     "interpret"),
 )
-def _verify_jit(stream, starts_a, len_a, line_tokens, line_ids, line_lengths,
-                *, window, search_cfg, use_pallas, interpret):
+def _verify_jit(stream, starts_a, len_a, script_stream, starts_b, len_b,
+                *, window, max_lt, search_cfg, use_pallas, interpret):
     offs = jnp.arange(window, dtype=jnp.int32)[None, :]
     gather_idx = jnp.clip(starts_a[:, None] + offs, 0, stream.shape[0] - 1)
     a = jnp.take(stream, gather_idx)                      # [C, window]
-    b = jnp.take(line_tokens, line_ids, axis=0)           # [C, LT]
-    len_b = jnp.take(line_lengths, line_ids)
+    offs_b = jnp.arange(max_lt, dtype=jnp.int32)[None, :]
+    gather_b = jnp.clip(
+        starts_b[:, None] + offs_b, 0, script_stream.shape[0] - 1
+    )
+    b = jnp.take(script_stream, gather_b)                 # [C, max_lt]
     if use_pallas:
         return sw_normalized_pallas(
             a, b, len_a, len_b, search_cfg, interpret=interpret

@@ -10,8 +10,10 @@ Design choice vs the reference: the script is shingled as ONE token
 stream (with a token -> line map) rather than per line, so lines
 shorter than the shingle width still participate via shingles that
 cross line boundaries; attribution uses the line of the shingle's
-middle token.  Verification then checks the fan window against the
-attributed line's exact tokens, which restores per-line precision.
+middle token.  Verification then checks the fan window against a
+``max_line_tokens``-wide segment of the attributed line centered on the
+matched shingle (search/common.py line_segment), which restores
+per-line precision without truncating long lines.
 """
 
 from __future__ import annotations
@@ -34,10 +36,11 @@ class ScriptIndex:
     stream_hashes: np.ndarray           # uint32[T] all line tokens, in order
     token_line: np.ndarray              # int32[T] line_no per stream token
     shingle_line: np.ndarray            # int32[NS] attributed line per shingle
+    shingle_anchor: np.ndarray          # int32[NS] shingle start offset in line
     shingle_windows: np.ndarray         # uint32[NS, n] raw shingle word hashes
     embeddings: np.ndarray              # int8[NS, dim]
-    line_tokens: np.ndarray             # uint32[L, max_line_tokens] padded
-    line_lengths: np.ndarray            # int32[L] true token counts (clipped)
+    line_start: np.ndarray              # int32[L] line offset in stream_hashes
+    line_lengths: np.ndarray            # int32[L] TRUE token counts (unclipped)
 
     @property
     def num_shingles(self) -> int:
@@ -76,13 +79,23 @@ def build_script_index(
         else np.zeros((0,), dtype=np.int32)
     )
 
-    max_lt = search_cfg.max_line_tokens
-    line_tokens = np.zeros((len(lines), max_lt), dtype=np.uint32)
-    line_lengths = np.zeros((len(lines),), dtype=np.int32)
-    for i, t in enumerate(tokenized):
-        m = min(len(t), max_lt)
-        line_tokens[i, :m] = t.hashes[:m]
-        line_lengths[i] = m
+    line_lengths = np.array([len(t) for t in tokenized], dtype=np.int32)
+    line_start = np.zeros((len(lines),), dtype=np.int32)
+    if len(lines):
+        line_start[1:] = np.cumsum(line_lengths)[:-1]
+
+    # Shingle start offset within its attributed line (cross-line
+    # shingles can start in the previous line; clamp into the line so
+    # the verify segment stays line-local).
+    if ns:
+        ll = line_lengths[shingle_line]
+        shingle_anchor = np.clip(
+            np.arange(ns, dtype=np.int32) - line_start[shingle_line],
+            0,
+            np.maximum(0, ll - 1),
+        ).astype(np.int32)
+    else:
+        shingle_anchor = np.zeros((0,), dtype=np.int32)
 
     return ScriptIndex(
         lines=list(lines),
@@ -90,8 +103,9 @@ def build_script_index(
         stream_hashes=stream,
         token_line=token_line,
         shingle_line=shingle_line,
+        shingle_anchor=shingle_anchor,
         shingle_windows=windows,
         embeddings=emb,
-        line_tokens=line_tokens,
+        line_start=line_start,
         line_lengths=line_lengths,
     )

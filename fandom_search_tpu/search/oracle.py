@@ -24,7 +24,7 @@ from fandom_search_tpu.config import PipelineConfig
 from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
 from fandom_search_tpu.data.shingler import embed_shingles_np
 from fandom_search_tpu.search.chain import chain_hits
-from fandom_search_tpu.search.common import verify_window
+from fandom_search_tpu.search.common import line_segment, verify_window
 from fandom_search_tpu.search.index import ScriptIndex
 from fandom_search_tpu.search.types import CandidateHit, MatchRow
 from fandom_search_tpu.search.verify_np import sw_normalized_np
@@ -114,21 +114,28 @@ def search_works_oracle(
         t0 = time.perf_counter()
         cand = np.nonzero(vals >= xcfg.candidate_threshold)
         # Dedup (fan_pos, line) pairs: several top-k script shingles can
-        # attribute to the same line.
-        seen: Dict[Tuple[int, int], float] = {}
+        # attribute to the same line.  Keep the max-score candidate's
+        # script-shingle index (first strictly-greater wins, matching
+        # the engine's stable-lexsort dedup) — it anchors the line-side
+        # verify segment for long lines.
+        seen: Dict[Tuple[int, int], Tuple[float, int]] = {}
         for qi, kj in zip(*cand):
-            line = int(index.shingle_line[idxs[qi, kj]])
+            sidx = int(idxs[qi, kj])
+            line = int(index.shingle_line[sidx])
             key = (int(qi), line)
             s = float(vals[qi, kj])
-            if key not in seen or s > seen[key]:
-                seen[key] = s
+            if key not in seen or s > seen[key][0]:
+                seen[key] = (s, sidx)
         stats.num_candidates += len(seen)
 
-        for (fan_pos, line), score in seen.items():
+        for (fan_pos, line), (score, sidx) in seen.items():
             a0, a1 = verify_window(fan_pos, len(tk), scfg, xcfg)
             a = tk.hashes[a0:a1]
-            blen = int(index.line_lengths[line])
-            b = index.line_tokens[line, :blen]
+            anchor = int(index.shingle_anchor[sidx])
+            llen = int(index.line_lengths[line])
+            b0, blen = line_segment(anchor, llen, scfg, xcfg)
+            gstart = int(index.line_start[line]) + int(b0)
+            b = index.stream_hashes[gstart : gstart + int(blen)]
             v = sw_normalized_np(a, b, xcfg)
             if v >= xcfg.verify_threshold:
                 stats.num_verified += 1

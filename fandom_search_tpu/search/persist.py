@@ -26,13 +26,16 @@ from fandom_search_tpu.data.script_parser import ScriptLine
 from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
 from fandom_search_tpu.search.index import ScriptIndex
 
+_VERSION = 2
+
 _ARRAY_FIELDS = (
     "stream_hashes",
     "token_line",
     "shingle_line",
+    "shingle_anchor",
     "shingle_windows",
     "embeddings",
-    "line_tokens",
+    "line_start",
     "line_lengths",
 )
 
@@ -46,7 +49,7 @@ def save_index(index: ScriptIndex, cfg: PipelineConfig, path: str | Path) -> Non
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path / "arrays", arrays, force=True)
     meta = {
-        "version": 1,
+        "version": _VERSION,
         "lines": [
             {"line_no": ln.line_no, "speaker": ln.speaker, "text": ln.text}
             for ln in index.lines
@@ -63,6 +66,11 @@ def load_index(path: str | Path) -> Tuple[ScriptIndex, PipelineConfig]:
 
     path = Path(path).resolve()
     meta = json.loads((path / "meta.json").read_text(encoding="utf-8"))
+    if meta.get("version") != _VERSION:
+        raise ValueError(
+            f"index at {path} is format v{meta.get('version')}; this build "
+            f"reads v{_VERSION} — rebuild it with `fandomsearch index`"
+        )
     ckptr = ocp.PyTreeCheckpointer()
     arrays = ckptr.restore(path / "arrays")
     lines = [
@@ -80,7 +88,6 @@ def load_index(path: str | Path) -> Tuple[ScriptIndex, PipelineConfig]:
     # restore dtypes orbax may widen
     index.stream_hashes = index.stream_hashes.astype(np.uint32)
     index.shingle_windows = index.shingle_windows.astype(np.uint32)
-    index.line_tokens = index.line_tokens.astype(np.uint32)
     index.embeddings = index.embeddings.astype(np.int8)
     cfg = PipelineConfig(
         shingle=ShingleConfig(**meta["shingle"]),

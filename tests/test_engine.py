@@ -113,3 +113,56 @@ def test_engine_giant_work_split(world):
     eng = SearchEngine(index, small, use_pallas=False)
     rows, _ = eng.search_works({"giant": giant})
     assert any(r.line_no == 5 for r in rows)
+
+
+def test_long_line_tail_quote_verifies():
+    # A 200-token script line: a quote of its TAIL must still verify
+    # (round 1 truncated lines to max_line_tokens=64, so tail quotes of
+    # long monologues could never match).
+    rng = np.random.default_rng(77)
+    from fandom_search_tpu.utils.synthetic import make_vocab
+
+    vocab = make_vocab(rng, 3000)
+    long_words = [vocab[i] for i in rng.integers(0, len(vocab), 200)]
+    other = " ".join(vocab[i] for i in rng.integers(0, len(vocab), 9))
+    script_text = (
+        f"ALICE: {' '.join(long_words)}\n"
+        f"BOB: {other}\n"
+    )
+    lines = parse_script(script_text)
+    index = build_script_index(lines, CFG.shingle, CFG.search)
+    # 30 tokens: long enough that aligned/min(window, segment) = 60/128
+    # clears the 0.35 verify threshold -- the same bar a HEAD quote of
+    # this line faces; round 1 truncation made tail quotes score ~0.
+    tail_quote = " ".join(long_words[-30:])          # tokens 170..200
+    noise = " ".join(vocab[i] for i in rng.integers(0, len(vocab), 120))
+    works = {"w_tail": f"{noise} {tail_quote} {noise}"}
+
+    oracle_rows, _ = search_works_oracle(works, index, CFG)
+    eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    rows, _ = eng.search_works(works)
+
+    assert any(
+        r.line_no == 0 and r.verify_score >= CFG.search.verify_threshold
+        for r in rows
+    ), f"tail quote of long line not verified: {rows}"
+    assert {_row_key(r) for r in rows} == {_row_key(r) for r in oracle_rows}
+
+
+def test_candidate_budget_overflow_retries(world, caplog):
+    # A tiny candidate budget must not drop matches: the engine reruns
+    # the batch with a doubled budget until everything fits.
+    works, planted, index = world
+    big = SearchEngine(index, CFG, use_pallas=False)
+    rows_big, _ = big.search_works(works)
+
+    tiny_cfg = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, max_candidates_per_batch=8)
+    )
+    tiny = SearchEngine(index, tiny_cfg, use_pallas=False)
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="fandom_search_tpu.search.engine"):
+        rows_tiny, _ = tiny.search_works(works)
+    assert tiny._cand_budget > 8, "budget never grew despite overflow"
+    assert {_row_key(r) for r in rows_tiny} == {_row_key(r) for r in rows_big}

@@ -43,7 +43,8 @@ def test_save_load_roundtrip(tmp_path, world):
     assert cfg2.search == CFG.search
     np.testing.assert_array_equal(index2.embeddings, index.embeddings)
     np.testing.assert_array_equal(index2.shingle_line, index.shingle_line)
-    np.testing.assert_array_equal(index2.line_tokens, index.line_tokens)
+    np.testing.assert_array_equal(index2.line_start, index.line_start)
+    np.testing.assert_array_equal(index2.shingle_anchor, index.shingle_anchor)
     assert [ln.text for ln in index2.lines] == [ln.text for ln in index.lines]
 
     # a loaded index must search identically
