@@ -123,12 +123,8 @@ def fast_tokenize(text: str) -> Tokenized:
         ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     offsets = np.stack([starts[:n], ends[:n]], axis=1)
-    low = text.lower()
-    if len(low) != len(text):
-        low = "".join(c.lower() if len(c.lower()) == 1 else c for c in text)
-    tokens = [low[a:b] for a, b in offsets]
-    return Tokenized(text=text, tokens=tokens, offsets=offsets,
-                     hashes=hashes[:n].copy())
+    # token strings are lazy (Tokenized.tokens) — search never needs them
+    return Tokenized(text=text, offsets=offsets, hashes=hashes[:n].copy())
 
 
 def tokenize_many(

@@ -127,8 +127,12 @@ def _hamming_topk_kernel(
         sw = st_ref[w : w + 1, :]         # [1, TS]
         acc = acc + popcount32(qw ^ sw)   # broadcast XOR -> [TQ, TS]
 
-    # similarity in "agreeing bits - disagreeing bits" units
-    scores = jnp.float32(bits) - 2.0 * acc.astype(jnp.float32)
+    # similarity in "agreeing bits - disagreeing bits" units.
+    # NOTE: Mosaic cannot cast uint32 -> f32 directly; go via int32
+    # (acc <= bits <= 2^15, so the reinterpret is exact).
+    scores = jnp.float32(bits) - 2.0 * acc.astype(jnp.int32).astype(
+        jnp.float32
+    )
     tile_base = j * tile_s
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1) + tile_base
     scores = jnp.where(col_ids < ns_valid_ref[0], scores, NEG_INF)

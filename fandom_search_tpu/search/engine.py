@@ -32,6 +32,7 @@ import numpy as np
 from fandom_search_tpu.config import PipelineConfig
 from fandom_search_tpu.data.hashing import derive_salts
 from fandom_search_tpu.data.shingler import embed_shingles
+from fandom_search_tpu.ops.embed import embed_shingles_pallas
 from fandom_search_tpu.data.tokenizer import Tokenized
 from fandom_search_tpu.data.fast_tokenizer import tokenize_many
 from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_jnp, topk_dot_pallas
@@ -160,7 +161,6 @@ class SearchEngine:
                     end = min(need, pos + cap)
                     piece = Tokenized(
                         text=tk.text,
-                        tokens=tk.tokens[pos:end],
                         offsets=tk.offsets[pos:end],
                         hashes=tk.hashes[pos:end],
                     )
@@ -210,11 +210,27 @@ class SearchEngine:
         if self.index.num_shingles == 0:
             return [], stats
 
+        # Pipelined execution: submit batch N+1's candidate kernel BEFORE
+        # syncing batch N's results, so the device runs ahead while the
+        # host dedups/preps the previous batch (jax dispatch is async;
+        # the device executes in order).  One batch of lookahead keeps
+        # at most two streams + compacted outputs in flight.
         all_hits: List[CandidateHit] = []
+        pending: List[Tuple] = []
         for wids, stream, spans in self._batches(tokenized):
             stats.num_batches += 1
-            hits = self._search_batch(stream, spans, tokenized, stats)
-            all_hits.extend(hits)
+            t0 = time.perf_counter()
+            stream_dev = jnp.asarray(stream)
+            out = self._candidates_fn(
+                stream_dev, self._s_emb_padded, self._ns_valid, self._salts,
+                max_out=self._cand_budget,
+            )
+            stats.seconds_device_topk += time.perf_counter() - t0
+            pending.append((stream_dev, spans, self._cand_budget, out))
+            if len(pending) == 2:
+                all_hits.extend(self._process_batch(*pending.pop(0), stats))
+        while pending:
+            all_hits.extend(self._process_batch(*pending.pop(0), stats))
 
         t0 = time.perf_counter()
         # Split-work chunk ids ("wid\x00offset") fold back to the work.
@@ -238,35 +254,36 @@ class SearchEngine:
         stats.seconds_host += time.perf_counter() - t0
         return rows, stats
 
-    def _search_batch(
+    def _process_batch(
         self,
-        stream: np.ndarray,
+        stream_dev,
         spans: Sequence[Tuple[str, int, int]],
-        tokenized: Dict[str, Tokenized],
+        budget: int,
+        out: Tuple,
         stats: EngineStats,
     ) -> List[CandidateHit]:
         scfg, xcfg = self.cfg.shingle, self.cfg.search
 
         t0 = time.perf_counter()
-        stream_dev = jnp.asarray(stream)
+        qpos_d, sidx_d, score_d, count_d = out
         while True:
-            qpos_d, sidx_d, score_d, count_d = self._candidates_fn(
-                stream_dev, self._s_emb_padded, self._ns_valid, self._salts,
-                max_out=self._cand_budget,
-            )
             # only the compacted candidate triples cross device->host
             count = int(np.asarray(count_d))
-            if count <= self._cand_budget:
+            if count <= budget:
                 break
             # Overflow: rerun the batch with a bigger (pow2) budget so
             # nothing is dropped.  The budget is sticky, so a quote-
             # dense corpus pays the recompile once, not per batch.
-            new_budget = _next_pow2(count, self._cand_budget * 2)
+            budget = _next_pow2(count, budget * 2)
             log.info(
-                "candidate budget exceeded (%d > %d); retrying batch "
-                "with budget %d", count, self._cand_budget, new_budget,
+                "candidate budget exceeded (%d); retrying batch with "
+                "budget %d", count, budget,
             )
-            self._cand_budget = new_budget
+            self._cand_budget = max(self._cand_budget, budget)
+            qpos_d, sidx_d, score_d, count_d = self._candidates_fn(
+                stream_dev, self._s_emb_padded, self._ns_valid, self._salts,
+                max_out=budget,
+            )
         n_kept = count
         qpos = np.asarray(qpos_d)[:n_kept].astype(np.int64)
         sidx = np.asarray(sidx_d)[:n_kept]
@@ -408,8 +425,11 @@ def compact_candidates(vals, idx, threshold, ns, k: int, max_out: int):
 )
 def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
                     shingle_cfg, use_pallas, interpret, threshold, max_out):
-    q_emb = embed_shingles(stream, shingle_cfg, salts=salts)  # [NQ, D] int8
     if use_pallas:
+        # single-pass fused embedding (ops/embed.py)
+        q_emb = embed_shingles_pallas(
+            stream, shingle_cfg, salts=salts, interpret=interpret
+        )
         qp, _ = pad_rows(q_emb, 256)
         vals, idx = topk_dot_pallas(
             qp, s_emb_padded, ns_valid, k, dim, interpret=interpret
@@ -417,6 +437,7 @@ def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
         vals, idx = vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
     else:
         # jnp path: mask padded script rows via a validity column
+        q_emb = embed_shingles(stream, shingle_cfg, salts=salts)
         scores = jax.lax.dot_general(
             q_emb.astype(jnp.bfloat16),
             s_emb_padded.astype(jnp.bfloat16),

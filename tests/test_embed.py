@@ -1,0 +1,34 @@
+"""Fused Pallas embedding kernel vs the host oracle (bit-exact)."""
+
+import numpy as np
+import pytest
+
+from fandom_search_tpu.config import ShingleConfig
+from fandom_search_tpu.data.hashing import derive_salts
+from fandom_search_tpu.data.shingler import embed_shingles, embed_shingles_np
+from fandom_search_tpu.ops.embed import embed_shingles_pallas
+
+CFG = ShingleConfig()
+
+
+@pytest.mark.parametrize("t_len", [6, 7, 100, 517, 2048])
+def test_pallas_embed_matches_oracle(rng, t_len):
+    t = rng.integers(0, 2**32, size=t_len, dtype=np.uint32)
+    ref = embed_shingles_np(t, CFG)
+    out = np.asarray(embed_shingles_pallas(t, CFG, interpret=True))
+    assert out.shape == ref.shape
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_embed_matches_jnp(rng):
+    t = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+    salts = derive_salts(CFG.seed, CFG.n, CFG.sign_rounds)
+    a = np.asarray(embed_shingles(t, CFG, salts=salts))
+    b = np.asarray(embed_shingles_pallas(t, CFG, salts=salts, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_embed_empty():
+    t = np.zeros((3,), dtype=np.uint32)  # fewer than n tokens -> 0 shingles
+    out = np.asarray(embed_shingles_pallas(t, CFG, interpret=True))
+    assert out.shape == (0, CFG.dim)
