@@ -95,63 +95,126 @@ def merge_topk_tile(run_vals, run_idx, scores, col_ids, k: int) -> None:
     run_idx[:] = jnp.concatenate(new_idx, axis=1)
 
 
+# Packed-selection constants: a candidate is one int32
+#   packed = score * 2^17 + (2^17 - 1 - global_col)
+# monotone in (score asc, col desc), so a single max() implements
+# "highest score, lowest column wins ties" and every (score, col) is
+# unique — each selection pass is max / compare-equal / select with no
+# concatenations.  Fits int32 for |score| <= 4608 (int8 embeddings,
+# dim 128) and global_col < 2^17; the wrapper asserts the col bound.
+_COL_BITS = 17
+_COL_MASK = (1 << _COL_BITS) - 1
+_PACK_SENTINEL = -(1 << 30)  # below any real packed value
+
+
 def _topk_kernel(
     ns_valid_ref,  # SMEM (1,) int32 — true NS before padding
     q_ref,         # VMEM [TQ, D] int8
     s_ref,         # VMEM [TS, D] int8
     vals_ref,      # VMEM [TQ, K] f32 out
     idx_ref,       # VMEM [TQ, K] i32 out
-    run_vals,      # VMEM scratch [TQ, K] f32
-    run_idx,       # VMEM scratch [TQ, K] i32
+    run_ref,       # VMEM scratch [TQ, K] int32 — packed (score, col)
     *,
     k: int,
     tile_s: int,
     inv_dim: float,
     compute: str,
+    min_keep: float,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        run_vals[:] = jnp.full_like(run_vals[:], NEG_INF)
-        run_idx[:] = jnp.zeros_like(run_idx[:])
+        run_ref[:] = jnp.full_like(run_ref[:], _PACK_SENTINEL)
 
     # [TQ, TS] tile of the score matrix on the MXU.  Entries are in
     # [-n, n] so bf16 inputs are exact; the int8 path feeds the MXU's
     # native int8 mode (2x bf16 rate on v5e).
     if compute == "int8":
-        scores = jax.lax.dot_general(
+        scores_i = jax.lax.dot_general(
             q_ref[:],
             s_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
+        )
     else:
-        scores = jax.lax.dot_general(
+        scores_i = jax.lax.dot_general(
             q_ref[:].astype(jnp.bfloat16),
             s_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.int32)
 
-    tq = scores.shape[0]
+    tq = scores_i.shape[0]
     tile_base = j * tile_s
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1) + tile_base
-    valid = col_ids < ns_valid_ref[0]
-    scores = jnp.where(valid, scores, NEG_INF)
 
-    merge_topk_tile(run_vals, run_idx, scores, col_ids, k)
+    # Merge gate — the k-pass merge costs ~an order of magnitude more
+    # VPU work than the tile's MXU MACs, so skipping it is what sets
+    # the kernel's speed.  A tile may skip when no row can change the
+    # answer the caller consumes:
+    #   * row_max <= current k-th best (buffer sorted desc; strict >
+    #     keeps lowest-index tie-breaks exact because a later tile's
+    #     equal score has a higher column), or
+    #   * row_max < min_keep: the caller declared it discards scores
+    #     below min_keep, so sub-threshold rows need no exact top-k.
+    # With min_keep = the engine's candidate threshold, noise tiles
+    # (almost all of a real corpus) skip and the MXU matmul dominates.
+    # Exactness: an entry that is >= min_keep AND in its row's true
+    # top-k always merges — its row fires the gate unless the buffer
+    # already holds k better entries.
+    #
+    # The padded-column mask lives INSIDE the gated branch: padded
+    # script rows are zero, so their dot of 0 can fire the gate
+    # spuriously but is masked before it could ever be merged.
+    row_max = jnp.max(scores_i, axis=1, keepdims=True)
+    kth_score = jax.lax.shift_right_arithmetic(
+        run_ref[:, k - 1 : k], _COL_BITS
+    )
+    can_improve = jnp.any(
+        jnp.logical_and(row_max > kth_score, row_max >= jnp.int32(min_keep))
+    )
+
+    @pl.when(can_improve)
+    def _merge():
+        inv_col = (
+            jnp.int32(_COL_MASK - tile_base)
+            - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
+        )
+        p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
+        # mask padded columns (col >= ns_valid  <=>  inv_col too small)
+        col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+        p = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
+        run = run_ref[:]
+        outs = []
+        for _ in range(k):
+            m = jnp.maximum(
+                jnp.max(p, axis=1, keepdims=True),
+                jnp.max(run, axis=1, keepdims=True),
+            )
+            outs.append(m)
+            p = jnp.where(p == m, jnp.int32(_PACK_SENTINEL), p)
+            run = jnp.where(run == m, jnp.int32(_PACK_SENTINEL), run)
+        run_ref[:] = jnp.concatenate(outs, axis=1)
 
     @pl.when(j == nj - 1)
     def _emit():
-        vals_ref[:] = run_vals[:] * inv_dim
-        idx_ref[:] = run_idx[:]
+        packed = run_ref[:]
+        score = jax.lax.shift_right_arithmetic(packed, _COL_BITS)
+        empty = packed == jnp.int32(_PACK_SENTINEL)
+        vals_ref[:] = jnp.where(
+            empty, NEG_INF, score.astype(jnp.float32) * inv_dim
+        )
+        idx_ref[:] = jnp.where(
+            empty, 0, jnp.int32(_COL_MASK) - (packed & jnp.int32(_COL_MASK))
+        )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "dim", "tile_q", "tile_s", "interpret", "compute"),
+    static_argnames=(
+        "k", "dim", "tile_q", "tile_s", "interpret", "compute", "min_keep",
+    ),
 )
 def topk_dot_pallas(
     q_emb: jax.Array,   # int8 [NQ, D], NQ % tile_q == 0
@@ -160,19 +223,58 @@ def topk_dot_pallas(
     k: int,
     dim: int,
     *,
-    tile_q: int = 256,
+    tile_q: int = 128,
     tile_s: int = 2048,
     interpret: bool = False,
-    compute: str = "bf16",
+    compute: str = "int8",
+    min_keep: float = -float("inf"),
 ) -> Tuple[jax.Array, jax.Array]:
+    """Fused scores + top-k.  ``min_keep`` (in dot/dim units) declares
+    that the caller discards scores below it: rows whose results fall
+    entirely below min_keep may return padding instead of their exact
+    top-k, which lets noise tiles skip the expensive merge.  Leave at
+    -inf for the exact full top-k."""
     nq, d = q_emb.shape
     ns = s_emb.shape[0]
     assert nq % tile_q == 0, (nq, tile_q)
     assert ns % tile_s == 0, (ns, tile_s)
+
+    max_cols = 1 << _COL_BITS
+    if ns > max_cols:
+        # Column-chunk: the packed (score, col) selection carries 17
+        # column bits.  Run the kernel per 2^17-column chunk and merge
+        # the tiny per-chunk top-k tables with lax.top_k (chunk order
+        # ascending keeps lowest-index tie-breaking).
+        vs, ids = [], []
+        for c0 in range(0, ns, max_cols):
+            s_c = s_emb[c0 : c0 + max_cols]
+            nsv_c = jnp.clip(
+                jnp.asarray(ns_valid, jnp.int32) - c0, 0, s_c.shape[0]
+            )
+            v, i = topk_dot_pallas(
+                s_emb=s_c, q_emb=q_emb, ns_valid=nsv_c, k=k, dim=dim,
+                tile_q=tile_q, tile_s=min(tile_s, s_c.shape[0]),
+                interpret=interpret, compute=compute, min_keep=min_keep,
+            )
+            vs.append(v)
+            ids.append(i + c0)
+        allv = jnp.concatenate(vs, axis=1)
+        alli = jnp.concatenate(ids, axis=1)
+        mv, mp = jax.lax.top_k(allv, k)
+        return mv, jnp.take_along_axis(alli, mp, axis=1)
+
     grid = (nq // tile_q, ns // tile_s)
+    # integer threshold in raw-dot units (scores are exact integers);
+    # ceil keeps "score >= min_keep" semantics, the sentinel floor
+    # keeps -inf representable in int32
+    if np.isfinite(min_keep):
+        min_keep_i = max(int(np.ceil(min_keep * dim)), _PACK_SENTINEL)
+    else:
+        min_keep_i = _PACK_SENTINEL
 
     kernel = functools.partial(
-        _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim, compute=compute
+        _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim, compute=compute,
+        min_keep=min_keep_i,
     )
     ns_valid_arr = jnp.asarray(ns_valid, dtype=jnp.int32).reshape((1,))
 
@@ -190,7 +292,6 @@ def topk_dot_pallas(
                 pl.BlockSpec((tile_q, k), lambda i, j, ns_ref: (i, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((tile_q, k), jnp.float32),
                 pltpu.VMEM((tile_q, k), jnp.int32),
             ],
         ),
@@ -227,9 +328,10 @@ def topk_dot(
     *,
     use_pallas: bool = True,
     interpret: bool = False,
-    tile_q: int = 256,
+    tile_q: int = 128,
     tile_s: int = 2048,
-    compute: str = "bf16",
+    compute: str = "int8",
+    min_keep: float = -float("inf"),
 ):
     """Dispatcher with automatic padding. Returns (vals, idx) for true rows."""
     nq = q_emb.shape[0]
@@ -246,5 +348,6 @@ def topk_dot(
     vals, idx = topk_dot_pallas(
         qp, sp, ns_valid, k, dim,
         tile_q=tile_q, tile_s=tile_s, interpret=interpret, compute=compute,
+        min_keep=min_keep,
     )
     return vals[:nq], idx[:nq]

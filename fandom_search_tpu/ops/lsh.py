@@ -16,9 +16,16 @@ when the script index is large:
     recall vs the exact kernel >= 0.99 at default settings
     (BASELINE.md target; see tests/test_lsh.py and bench.py).
 
-Compute shape: stage 1 costs W=bits/32 VPU ops per pair instead of a
-D=128-MAC MXU dot — 8x fewer bytes touched per pair — and stage 2 is
-sub-linear (rerank << NS exact dots per query).
+Compute shape — an honest note: stage 1 touches 8x fewer bytes per
+pair than the exact kernel (128 B embedding -> 16 B code), but costs
+~7 VPU ops per packed word (XOR + SWAR popcount) where the exact
+kernel costs one int8 MXU MAC per dim — and the MXU's MAC throughput
+is an order of magnitude above the VPU's.  On TPU the linear-scan
+prefilter therefore only wins when the scan is HBM-bandwidth-bound
+(script indexes of ~10^6+ shingles); at typical script sizes the MXU
+brute-force kernel is faster, which bench.py reports explicitly.
+This mirrors the published TPU nearest-neighbor result that brute
+force on the MXU is extremely hard to beat at moderate index sizes.
 """
 
 from __future__ import annotations
@@ -137,7 +144,16 @@ def _hamming_topk_kernel(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1) + tile_base
     scores = jnp.where(col_ids < ns_valid_ref[0], scores, NEG_INF)
 
-    merge_topk_tile(run_vals, run_idx, scores, col_ids, rerank)
+    # same provably-safe merge gate as the exact kernel (run_vals is
+    # sorted descending; strict > keeps lowest-index tie-breaking exact)
+    can_improve = jnp.any(
+        jnp.max(scores, axis=1, keepdims=True)
+        > run_vals[:, rerank - 1 : rerank]
+    )
+
+    @pl.when(jnp.logical_or(j == 0, can_improve))
+    def _merge():
+        merge_topk_tile(run_vals, run_idx, scores, col_ids, rerank)
 
     @pl.when(j == nj - 1)
     def _emit():
@@ -157,9 +173,12 @@ def hamming_topk_pallas(
     bits: int,
     *,
     tile_q: int = 256,
-    tile_s: int = 2048,
+    tile_s: int = 512,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
+    # tile_s is deliberately small: the unrolled 32-word XOR+popcount
+    # keeps ~10 [tile_q, tile_s] u32 temporaries live, and scoped VMEM
+    # tops out at 16 MB (2048-wide tiles OOM the Mosaic stack).
     nq, words = q_codes.shape
     ns = s_codes_t.shape[1]
     assert nq % tile_q == 0 and ns % tile_s == 0, (nq, ns)
@@ -266,7 +285,7 @@ def lsh_topk(
     qp, _ = pad_rows(jnp.asarray(q_emb), tile_q)
     q_codes = encode(qp, lsh.projection)
     ns_pad = lsh.codes_t.shape[1]
-    tile_s = next(t for t in (4096, 2048, 1024, 512) if ns_pad % t == 0)
+    tile_s = next(t for t in (512, 1024, 2048) if ns_pad % t == 0)
     vals1, idx1 = hamming_topk_pallas(
         q_codes, lsh.codes_t, lsh.ns_valid, cfg.rerank, cfg.bits,
         tile_q=tile_q, tile_s=tile_s, interpret=interpret,

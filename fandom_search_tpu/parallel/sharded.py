@@ -64,8 +64,9 @@ def sharded_topk(
     *,
     use_pallas: bool,
     interpret: bool = False,
-    tile_q: int = 256,
+    tile_q: int = 128,
     tile_s: int = 2048,
+    min_keep: float = -float("inf"),
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact global top-k with a works x script sharded mesh."""
     script_shards = mesh.shape[AXIS_SCRIPT]
@@ -76,6 +77,7 @@ def sharded_topk(
             vals, idx = topk_dot_pallas(
                 q_l, s_l, nsv_l[0], k, dim,
                 tile_q=tile_q, tile_s=tile_s, interpret=interpret,
+                min_keep=min_keep,
             )
         else:
             vals, idx = _local_topk_jnp(q_l, s_l, nsv_l[0], k, dim)
@@ -151,6 +153,7 @@ class ShardedSearchEngine(SearchEngine):
             vals, idx = sharded_topk(
                 mesh_, q_emb, s_emb, ns_valid_shards,
                 xcfg.k, scfg.dim, use_pallas=up, interpret=ip,
+                min_keep=xcfg.candidate_threshold,
             )
             return compact_candidates(
                 vals, idx, xcfg.candidate_threshold, ns_true,

@@ -430,9 +430,12 @@ def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
         q_emb = embed_shingles_pallas(
             stream, shingle_cfg, salts=salts, interpret=interpret
         )
-        qp, _ = pad_rows(q_emb, 256)
+        qp, _ = pad_rows(q_emb, 128)
+        # min_keep = the compaction threshold: sub-threshold rows skip
+        # the top-k merge entirely (the engine never reads them)
         vals, idx = topk_dot_pallas(
-            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret
+            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret,
+            min_keep=threshold,
         )
         vals, idx = vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
     else:

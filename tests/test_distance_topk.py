@@ -79,3 +79,24 @@ def test_oracle_boundary_ties_lowest_index(rng):
     np.testing.assert_array_equal(oidx, np.asarray(jidx))
     pvals, pidx = topk_dot(q, s, K, DIM, use_pallas=True, interpret=True)
     np.testing.assert_array_equal(oidx, np.asarray(pidx))
+
+
+def test_min_keep_gating_exact_above_threshold(rng):
+    # With min_keep set, entries >= min_keep must be exactly the
+    # oracle's (sub-threshold rows may return padding).
+    thr = 3.5
+    q, s = _rand_emb(rng, 300), _rand_emb(rng, 3000)
+    # plant strong matches for some queries so gating has both regimes
+    s[100:150] = q[:50]
+    vals, idx = topk_dot(
+        q, s, K, DIM, use_pallas=True, interpret=True, min_keep=thr
+    )
+    ovals, oidx = topk_scores_np(q, s, K, DIM)
+    g, o = np.asarray(vals), ovals
+    keep = o >= thr
+    np.testing.assert_allclose(g[keep], o[keep], atol=1e-6)
+    gi = np.asarray(idx)
+    np.testing.assert_array_equal(gi[keep], oidx[keep])
+    # padding never fabricates an above-threshold score
+    fake = (g >= thr) & ~keep
+    assert not fake.any()
