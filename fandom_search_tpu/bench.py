@@ -212,13 +212,15 @@ def main(argv=None) -> int:
 
     mesh = make_mesh(MeshConfig(works=1, script=1))
     nsv_shards = jnp.asarray([int(ns_valid)], jnp.int32)
-    dt_sh = _time(
-        jnp,
-        lambda: sharded_topk(
-            mesh, q_dev, s_pad, nsv_shards, k, dim,
+    # jit the wrapper: a bare sharded_topk call builds a fresh
+    # shard_map closure per call and re-traces (~45 s/call measured)
+    sharded_jit = jax.jit(
+        lambda q_, s_, n_: sharded_topk(
+            mesh, q_, s_, n_, k, dim,
             use_pallas=use_pallas, interpret=interpret, min_keep=thr,
-        ),
+        )
     )
+    dt_sh = _time(jnp, lambda: sharded_jit(q_dev, s_pad, nsv_shards))
     details["sharded_pairs_per_sec"] = nq * ns / dt_sh
     details["sharded_note"] = (
         "1x1 mesh on this single-chip box; works x script meshes are "
@@ -281,7 +283,8 @@ def main(argv=None) -> int:
 
         eng = SearchEngine(index, cfg, use_pallas=use_pallas,
                            interpret=interpret)
-        eng.search_works(dict(list(works.items())[:4]))  # warm/compile
+        # warm with enough works to hit the steady verify bucket (2048)
+        eng.search_works(dict(list(works.items())[:200]))
         t0 = time.perf_counter()
         rows, stats = eng.search_works(works)
         e2e_dt = time.perf_counter() - t0

@@ -190,7 +190,10 @@ class ShardedSearchEngine(SearchEngine):
         )
 
         @jax.jit
-        def verify(stream, starts_a, len_a, script_stream, starts_b, len_b):
+        def verify(stream, packed, script_stream):
+            starts_a, len_a, starts_b, len_b = (
+                packed[0], packed[1], packed[2], packed[3]
+            )
             window = xcfg.window_tokens
             offs = jnp.arange(window, dtype=jnp.int32)[None, :]
             gather_idx = jnp.clip(

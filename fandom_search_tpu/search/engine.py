@@ -285,9 +285,13 @@ class SearchEngine:
                 max_out=budget,
             )
         n_kept = count
-        qpos = np.asarray(qpos_d)[:n_kept].astype(np.int64)
-        sidx = np.asarray(sidx_d)[:n_kept]
-        score = np.asarray(score_d)[:n_kept]
+        # Device->host transfers ride a ~10ms-latency / ~30MB/s tunnel
+        # here: slice the compacted outputs to a pow2 bucket of the
+        # true count before pulling (24KB instead of 768KB per batch).
+        pull = min(budget, _next_pow2(max(n_kept, 1), 2048))
+        qpos = np.asarray(qpos_d[:pull])[:n_kept].astype(np.int64)
+        sidx = np.asarray(sidx_d[:pull])[:n_kept]
+        score = np.asarray(score_d[:pull])[:n_kept]
         stats.seconds_device_topk += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -354,20 +358,19 @@ class SearchEngine:
         starts_b = (self.index.line_start[ln_u] + b0).astype(np.int32)
         len_b = len_b.astype(np.int32)
 
-        bucket = _next_pow2(ncand, 256)
-        pad = bucket - ncand
-        if pad:
-            starts_a = np.pad(starts_a, (0, pad))
-            len_a = np.pad(len_a, (0, pad))
-            starts_b = np.pad(starts_b, (0, pad))
-            len_b = np.pad(len_b, (0, pad))
+        # Bucket floor 2048 on real devices: one steady compile variant
+        # (a 2048-pair SW call is ~6ms) instead of one per pow2 size;
+        # small floor in interpret mode where big buckets are slow.
+        floor = 2048 if (self.use_pallas and not self.interpret) else 256
+        bucket = _next_pow2(ncand, floor)
+        # one packed upload (4 x latency -> 1 x latency on the tunnel)
+        packed = np.zeros((4, bucket), dtype=np.int32)
+        packed[0, :ncand] = starts_a
+        packed[1, :ncand] = len_a
+        packed[2, :ncand] = starts_b
+        packed[3, :ncand] = len_b
         scores = self._verify_fn(
-            stream_dev,
-            jnp.asarray(starts_a),
-            jnp.asarray(len_a),
-            self._script_stream,
-            jnp.asarray(starts_b),
-            jnp.asarray(len_b),
+            stream_dev, jnp.asarray(packed), self._script_stream
         )
         scores = np.asarray(jax.block_until_ready(scores))[:ncand]
         stats.seconds_device_verify += time.perf_counter() - t0
@@ -459,8 +462,12 @@ def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
     static_argnames=("window", "max_lt", "search_cfg", "use_pallas",
                      "interpret"),
 )
-def _verify_jit(stream, starts_a, len_a, script_stream, starts_b, len_b,
+def _verify_jit(stream, packed, script_stream,
                 *, window, max_lt, search_cfg, use_pallas, interpret):
+    # packed int32 [4, C]: starts_a, len_a, starts_b, len_b (one upload)
+    starts_a, len_a, starts_b, len_b = (
+        packed[0], packed[1], packed[2], packed[3]
+    )
     offs = jnp.arange(window, dtype=jnp.int32)[None, :]
     gather_idx = jnp.clip(starts_a[:, None] + offs, 0, stream.shape[0] - 1)
     a = jnp.take(stream, gather_idx)                      # [C, window]

@@ -59,24 +59,30 @@ def topk_scores_np(
     idxs = np.zeros((nq, k), dtype=np.int32)
     if ns == 0 or nq == 0:
         return vals, idxs
-    st = index_emb.astype(np.int32).T
+    # f32 matmul runs on BLAS and is exact here: |dot| <= n^2 * dim
+    # (4608 at defaults) is far below f32's 2^24 integer range.
+    st = index_emb.astype(np.float32).T
     for q0 in range(0, nq, block):
         q1 = min(nq, q0 + block)
-        scores = query_emb[q0:q1].astype(np.int32) @ st  # [b, NS]
-        scores_f = scores.astype(np.float32) / dim
+        b = q1 - q0
+        scores_f = (query_emb[q0:q1].astype(np.float32) @ st) / dim  # [b, NS]
         # argpartition alone picks an ARBITRARY subset among values tied
         # at the k-th boundary; the device kernels (lax.top_k and the
         # Pallas merge) resolve such ties to the lowest index.  Use the
         # partition only to find the k-th value, then select exactly:
-        # every index strictly above it, plus the lowest-index ties.
+        # every index strictly above it, plus the lowest-index ties
+        # (rank computed sparsely — boundary ties are few per row).
         part = np.argpartition(-scores_f, k_eff - 1, axis=1)[:, :k_eff]
         vk = np.take_along_axis(scores_f, part, axis=1).min(axis=1)  # [b]
         gt = scores_f > vk[:, None]
-        eq = scores_f == vk[:, None]
-        need = k_eff - gt.sum(axis=1)
-        take_eq = eq & (np.cumsum(eq, axis=1) <= need[:, None])
-        rows_sel, cols_sel = np.nonzero(gt | take_eq)  # k_eff per row, idx-asc
-        part = cols_sel.reshape(q1 - q0, k_eff)
+        need = k_eff - gt.sum(axis=1)                                # [b]
+        rows_eq, cols_eq = np.nonzero(scores_f == vk[:, None])
+        first_of_row = np.searchsorted(rows_eq, np.arange(b))
+        rank = np.arange(len(rows_eq)) - first_of_row[rows_eq]
+        keep = rank < need[rows_eq]
+        gt[rows_eq[keep], cols_eq[keep]] = True
+        rows_sel, cols_sel = np.nonzero(gt)  # k_eff per row, idx-asc
+        part = cols_sel.reshape(b, k_eff)
         pv = np.take_along_axis(scores_f, part, axis=1)
         order = np.lexsort((part, -pv), axis=1)
         vals[q0:q1, :k_eff] = np.take_along_axis(pv, order, axis=1)
