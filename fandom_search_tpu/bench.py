@@ -292,7 +292,11 @@ def main(argv=None) -> int:
             f"shingles) vs {index.num_shingles}-shingle script in "
             f"{e2e_dt:.2f}s, {len(rows)} match rows")
 
-        # CPU oracle on a subsample, extrapolated by query-shingle count
+        # CPU baselines on a subsample, extrapolated by query-shingle
+        # count.  Two baselines: the vectorized NumPy oracle (best
+        # reasonable CPU implementation of the algorithm) and the
+        # reference-style pipeline (sklearn BallTree + python-
+        # Levenshtein — the stack the reference actually runs).
         sample = dict(list(works.items())[:n_cpu_works])
         t0 = time.perf_counter()
         orows, ostats = search_works_oracle(sample, index, cfg)
@@ -302,6 +306,24 @@ def main(argv=None) -> int:
         log(f"CPU oracle e2e: {cpu_sample_dt:.2f}s for {n_cpu_works} works "
             f"-> extrapolated {cpu_e2e_est:.1f}s for {n_works} "
             f"(x{scale:.1f} by shingle count)")
+
+        from fandom_search_tpu.search.reference_pipeline import ReferenceSearch
+
+        ref = ReferenceSearch(lines, cfg)
+        t0 = time.perf_counter()
+        rrows, rstats = ref.search_works(sample)
+        ref_sample_dt = time.perf_counter() - t0
+        ref_e2e_est = ref_sample_dt * (
+            stats.num_query_shingles / max(1, rstats.num_query_shingles)
+        )
+        log(f"reference pipeline (BallTree+Levenshtein) e2e: "
+            f"{ref_sample_dt:.2f}s for {n_cpu_works} works -> "
+            f"extrapolated {ref_e2e_est:.1f}s for {n_works}")
+        details.update({
+            "cpu_reference_sample_seconds": ref_sample_dt,
+            "cpu_reference_extrapolated_seconds": ref_e2e_est,
+            "e2e_speedup_vs_reference": ref_e2e_est / e2e_dt,
+        })
         details.update({
             "e2e_works": n_works,
             "e2e_seconds": e2e_dt,

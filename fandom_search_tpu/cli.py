@@ -51,6 +51,9 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--oracle", action="store_true",
                    help="run the NumPy reference pipeline instead of TPU")
+    p.add_argument("--reference", action="store_true",
+                   help="run the reference-style CPU pipeline "
+                        "(sklearn BallTree + Levenshtein ratio)")
     p.add_argument("--shards", type=int, default=None,
                    help="shard the corpus across N devices (data parallel; "
                         "shorthand for --mesh Nx1)")
@@ -235,7 +238,13 @@ def cmd_search(args) -> int:
         profile_ctx.__enter__()
 
     t0 = time.perf_counter()
-    if args.oracle:
+    if args.reference:
+        from fandom_search_tpu.search.reference_pipeline import ReferenceSearch
+
+        ref = ReferenceSearch(lines, cfg)
+        rows, stats = ref.search_works(works)
+        stats_d = dataclasses.asdict(stats)
+    elif args.oracle:
         from fandom_search_tpu.search.oracle import search_works_oracle
 
         rows, stats = search_works_oracle(works, index, cfg)

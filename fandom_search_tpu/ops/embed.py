@@ -42,21 +42,25 @@ def _fmix32(h):
 
 
 def _embed_kernel(
-    stream_ref,      # VMEM [T_pad, 1] uint32 — whole token stream
     salt_lanes_ref,  # VMEM [n, dim] uint32 — salts repeated 32x per word
-    out_ref,         # VMEM [TQ, dim] int8
-    *,
+    *refs,           # n x VMEM [TQ, 1] uint32 shifted stream views + out
     n: int,
     dim: int,
     tile_q: int,
 ):
-    i = pl.program_id(0)
+    # refs = (view_0, ..., view_{n-1}, out_ref); view_p's block i holds
+    # stream[p + i*TQ : p + (i+1)*TQ] — the tokens at shingle position p
+    # for this tile.  Blocks are [TQ, 1] (sublane-major) so the column
+    # broadcasts against [TQ, dim] directly; passing the WHOLE stream as
+    # one [T, 1] array instead would tile at 512 B/element in VMEM
+    # (lane-dim 1), i.e. 128x waste and OOM for large batches.
+    out_ref = refs[n]
     lane_shift = jax.lax.broadcasted_iota(jnp.uint32, (tile_q, dim), 1)
     lane_shift = lane_shift % jnp.uint32(32)
 
     acc = jnp.zeros((tile_q, dim), jnp.int32)
     for p in range(n):
-        tok = stream_ref[pl.ds(i * tile_q + p, tile_q), :]  # [TQ, 1] uint32
+        tok = refs[p][:]                                # [TQ, 1] uint32
         salt = salt_lanes_ref[p : p + 1, :]             # [1, dim]
         h = _fmix32(tok ^ salt)                         # [TQ, dim]
         bit = (h >> lane_shift) & jnp.uint32(1)
@@ -89,24 +93,25 @@ def embed_shingles_pallas(
         t = jnp.pad(t, (0, t_pad - t.shape[0]))
     # lane l of word w uses salts[p, w]; expand to one uint32 per lane
     salt_lanes = jnp.repeat(jnp.asarray(salts, jnp.uint32), 32, axis=1)
+    # n shifted column views of the stream: view_p[i*TQ:(i+1)*TQ] are
+    # the position-p tokens of tile i (overlapping windows are not
+    # expressible as one BlockSpec)
+    views = [t[p : p + m_pad].reshape(-1, 1) for p in range(cfg.n)]
 
     out = pl.pallas_call(
         functools.partial(
             _embed_kernel, n=cfg.n, dim=cfg.dim, tile_q=tile_q
         ),
         grid=(m_pad // tile_q,),
-        in_specs=[
-            # whole stream visible to every grid step (tiny: 4 B/token)
-            pl.BlockSpec((t_pad, 1), lambda i: (0, 0)),
-            pl.BlockSpec((cfg.n, cfg.dim), lambda i: (0, 0)),
-        ],
+        in_specs=[pl.BlockSpec((cfg.n, cfg.dim), lambda i: (0, 0))]
+        + [pl.BlockSpec((tile_q, 1), lambda i: (i, 0)) for _ in range(cfg.n)],
         out_specs=pl.BlockSpec((tile_q, cfg.dim), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, cfg.dim), jnp.int8),
         cost_estimate=pl.CostEstimate(
             flops=30 * m_pad * cfg.dim * cfg.n,
-            bytes_accessed=t_pad * 4 + m_pad * cfg.dim,
+            bytes_accessed=t_pad * 4 * cfg.n + m_pad * cfg.dim,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(t.reshape(-1, 1), salt_lanes)
+    )(salt_lanes, *views)
     return out[:m]

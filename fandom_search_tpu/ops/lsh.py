@@ -324,7 +324,10 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
             xcfg.k, max_out,
         )
 
-    # keep the engine call signature (stream, s_emb, ns_valid, salts)
+    # keep the engine call signature (stream, s_emb, ns_valid, salts);
+    # the prefilter replaces the candidate stage, so the engine drops
+    # back to the two-stage batch flow
+    engine._use_fused = False
     engine._candidates_fn = (
         lambda stream, s_emb, ns_valid, salts, max_out: candidates(
             stream, s_emb_padded, ns_valid, salts, max_out=max_out

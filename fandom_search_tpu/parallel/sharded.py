@@ -120,6 +120,9 @@ class ShardedSearchEngine(SearchEngine):
         interpret: bool = False,
     ):
         super().__init__(index, cfg, use_pallas=use_pallas, interpret=interpret)
+        # the sharded engine swaps individual stages, so it keeps the
+        # two-stage batch flow instead of the fused single-call path
+        self._use_fused = False
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         scfg, xcfg = cfg.shingle, cfg.search
         works = self.mesh.shape[AXIS_WORKS]

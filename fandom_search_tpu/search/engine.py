@@ -104,6 +104,27 @@ class SearchEngine:
         # no candidate is ever dropped; the budget is sticky across
         # batches to amortize the recompile.
         self._cand_budget = xcfg.max_candidates_per_batch
+        self._verify_budget = 2048
+
+        # attribution tables on device for the fused batch path
+        def _dev_i32(x):
+            a = np.asarray(x, dtype=np.int32)
+            if a.shape[0] == 0:
+                a = np.zeros((1,), dtype=np.int32)
+            return jax.device_put(jnp.asarray(a))
+
+        self._shingle_line_d = _dev_i32(index.shingle_line)
+        self._shingle_anchor_d = _dev_i32(index.shingle_anchor)
+        self._line_start_d = _dev_i32(index.line_start)
+        self._line_len_d = _dev_i32(index.line_lengths)
+
+        # The fused path runs candidate gen + dedup + window building +
+        # verification as ONE jit call per batch: one upload (stream +
+        # span table) and one 40KB pull (verified hits + counts) per
+        # batch — transfer count dominates on this tunnel.  The
+        # two-stage path below remains for the sharded subclass and the
+        # LSH prefilter, which swap individual stages.
+        self._use_fused = True
 
         self._candidates_fn = functools.partial(
             _candidates_jit,
@@ -210,15 +231,20 @@ class SearchEngine:
         if self.index.num_shingles == 0:
             return [], stats
 
-        # Pipelined execution: submit batch N+1's candidate kernel BEFORE
+        # Pipelined execution: submit batch N+1's device work BEFORE
         # syncing batch N's results, so the device runs ahead while the
-        # host dedups/preps the previous batch (jax dispatch is async;
+        # host processes the previous batch (jax dispatch is async;
         # the device executes in order).  One batch of lookahead keeps
-        # at most two streams + compacted outputs in flight.
+        # at most two streams + outputs in flight.
         all_hits: List[CandidateHit] = []
         pending: List[Tuple] = []
         for wids, stream, spans in self._batches(tokenized):
             stats.num_batches += 1
+            if self._use_fused:
+                pending.append(self._submit_fused(stream, spans, stats))
+                if len(pending) == 2:
+                    all_hits.extend(self._process_fused(*pending.pop(0), stats))
+                continue
             t0 = time.perf_counter()
             stream_dev = jnp.asarray(stream)
             out = self._candidates_fn(
@@ -230,7 +256,10 @@ class SearchEngine:
             if len(pending) == 2:
                 all_hits.extend(self._process_batch(*pending.pop(0), stats))
         while pending:
-            all_hits.extend(self._process_batch(*pending.pop(0), stats))
+            if self._use_fused:
+                all_hits.extend(self._process_fused(*pending.pop(0), stats))
+            else:
+                all_hits.extend(self._process_batch(*pending.pop(0), stats))
 
         t0 = time.perf_counter()
         # Split-work chunk ids ("wid\x00offset") fold back to the work.
@@ -253,6 +282,103 @@ class SearchEngine:
         rows = chain_hits(list(uniq.values()), tokenized, self.index, scfg, xcfg)
         stats.seconds_host += time.perf_counter() - t0
         return rows, stats
+
+    # -- fused batch path ----------------------------------------------------
+
+    def _fused_args(self):
+        return (
+            self._s_emb_padded, self._ns_valid, self._salts,
+            self._script_stream, self._shingle_line_d,
+            self._shingle_anchor_d, self._line_start_d, self._line_len_d,
+        )
+
+    def _fused_statics(self):
+        scfg, xcfg = self.cfg.shingle, self.cfg.search
+        return dict(
+            k=xcfg.k, dim=scfg.dim, shingle_cfg=scfg, search_cfg=xcfg,
+            use_pallas=self.use_pallas, interpret=self.interpret,
+        )
+
+    def _submit_fused(self, stream, spans, stats: EngineStats):
+        t0 = time.perf_counter()
+        nspans = _next_pow2(len(spans), 64)
+        ext = np.empty((stream.shape[0] + 2 * nspans,), dtype=np.uint32)
+        ext[: stream.shape[0]] = stream
+        starts = ext[stream.shape[0] : stream.shape[0] + nspans]
+        lens = ext[stream.shape[0] + nspans :]
+        starts[:] = 1 << 30  # sentinel keeps searchsorted monotone
+        lens[:] = 0
+        starts[: len(spans)] = [off for _, off, _ in spans]
+        lens[: len(spans)] = [m for _, _, m in spans]
+        ext_dev = jnp.asarray(ext)  # ONE upload per batch
+        out = _fused_jit(
+            ext_dev, *self._fused_args(),
+            cand_budget=self._cand_budget,
+            verify_budget=self._verify_budget,
+            nspans=nspans,
+            **self._fused_statics(),
+        )
+        stats.seconds_device_topk += time.perf_counter() - t0
+        return ext_dev, spans, nspans, self._cand_budget, self._verify_budget, out
+
+    def _process_fused(
+        self, ext_dev, spans, nspans, cand_budget, verify_budget, out,
+        stats: EngineStats,
+    ) -> List[CandidateHit]:
+        scfg = self.cfg.shingle
+        t0 = time.perf_counter()
+        while True:
+            host = np.asarray(out)  # ONE pull per batch (~40KB)
+            cand_count = int(host[4, 0])
+            uniq_count = int(host[4, 1])
+            retry = False
+            if cand_count > cand_budget:
+                cand_budget = _next_pow2(cand_count, cand_budget * 2)
+                self._cand_budget = max(self._cand_budget, cand_budget)
+                retry = True
+            if uniq_count > verify_budget:
+                verify_budget = _next_pow2(uniq_count, verify_budget * 2)
+                self._verify_budget = max(self._verify_budget, verify_budget)
+                retry = True
+            if not retry:
+                break
+            log.info(
+                "budget exceeded (cand=%d uniq=%d); retrying batch with "
+                "budgets %d/%d", cand_count, uniq_count,
+                cand_budget, verify_budget,
+            )
+            out = _fused_jit(
+                ext_dev, *self._fused_args(),
+                cand_budget=cand_budget, verify_budget=verify_budget,
+                nspans=nspans, **self._fused_statics(),
+            )
+        ver_count = int(host[4, 2])
+        stats.num_candidates += uniq_count
+        stats.num_verified += ver_count
+
+        starts = np.array([off for _, off, _ in spans], dtype=np.int64)
+        lens = np.array([m for _, _, m in spans], dtype=np.int64)
+        wids = [w for w, _, _ in spans]
+        for _, off, m in spans:
+            stats.num_query_shingles += max(0, m - scfg.n + 1)
+
+        qpos = host[0, :ver_count].astype(np.int64)
+        line = host[1, :ver_count].astype(np.int64)
+        score = host[2, :ver_count]
+        vscore = host[3, :ver_count]
+        span_of = np.searchsorted(starts, qpos, side="right") - 1
+        local = qpos - starts[span_of]
+        hits = [
+            CandidateHit(
+                wids[span_of[i]], int(local[i]), int(line[i]),
+                float(score[i]), float(vscore[i]),
+            )
+            for i in range(ver_count)
+        ]
+        stats.seconds_host += time.perf_counter() - t0
+        return hits
+
+    # -- two-stage batch path (sharded engine, LSH prefilter) ---------------
 
     def _process_batch(
         self,
@@ -455,6 +581,149 @@ def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
         vals, idx = jax.lax.top_k(scores, k)
         vals, idx = vals / dim, idx.astype(jnp.int32)
     return compact_candidates(vals, idx, threshold, ns_valid, k, max_out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "dim", "shingle_cfg", "search_cfg", "use_pallas", "interpret",
+        "cand_budget", "verify_budget", "nspans",
+    ),
+)
+def _fused_jit(
+    stream_ext,      # uint32 [T_pad + 2*nspans]: stream | starts | lens
+    s_emb_padded, ns_valid, salts,
+    script_stream, shingle_line, shingle_anchor, line_start, line_len,
+    *, k, dim, shingle_cfg, search_cfg, use_pallas, interpret,
+    cand_budget, verify_budget, nspans,
+):
+    """One device call per batch: candidates -> dedup -> windows -> SW.
+
+    Returns f32 [5, verify_budget]: rows 0-3 are (qpos, line, score,
+    verify_score) of the verified hits; row 4 holds the counts
+    (candidates, deduped, verified) in its first three slots.  qpos
+    and line are exact in f32 (both far below 2^24).  Dedup keeps the
+    max-score candidate per (qpos, line) with stable order on ties —
+    the same winner as the oracle's first-strictly-greater rule — and
+    its script-shingle index anchors the line-side verify segment.
+    """
+    n = shingle_cfg.n
+    t_pad = stream_ext.shape[0] - 2 * nspans
+    stream = stream_ext[:t_pad]
+    sp_start = stream_ext[t_pad : t_pad + nspans].astype(jnp.int32)
+    sp_len = stream_ext[t_pad + nspans :].astype(jnp.int32)
+
+    # ---- candidates (embed -> fused top-k -> threshold compact) ------
+    threshold = search_cfg.candidate_threshold
+    if use_pallas:
+        q_emb = embed_shingles_pallas(
+            stream, shingle_cfg, salts=salts, interpret=interpret
+        )
+        qp, _ = pad_rows(q_emb, 128)
+        vals, idx = topk_dot_pallas(
+            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret,
+            min_keep=threshold,
+        )
+        vals, idx = vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
+    else:
+        q_emb = embed_shingles(stream, shingle_cfg, salts=salts)
+        scores = jax.lax.dot_general(
+            q_emb.astype(jnp.bfloat16),
+            s_emb_padded.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = jnp.arange(s_emb_padded.shape[0], dtype=jnp.int32)[None, :]
+        scores = jnp.where(col < ns_valid, scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, k)
+        vals, idx = vals / dim, idx.astype(jnp.int32)
+    qpos, sidx, score, cand_count = compact_candidates(
+        vals, idx, threshold, ns_valid, k, cand_budget
+    )
+
+    # ---- dedup per (qpos, line), max score, stable ties ---------------
+    ok = qpos >= 0
+    span_of = jnp.clip(
+        jnp.searchsorted(sp_start, qpos, side="right") - 1, 0, nspans - 1
+    )
+    st = sp_start[span_of]
+    ln = sp_len[span_of]
+    ok = jnp.logical_and(ok, jnp.logical_and(qpos >= st, qpos <= st + ln - n))
+    line = shingle_line[jnp.clip(sidx, 0, shingle_line.shape[0] - 1)]
+    bad = jnp.logical_not(ok).astype(jnp.int32)
+    bad_s, qpos_s, line_s, _, sidx_s, score_s, spanof_s = jax.lax.sort(
+        (bad, qpos, line, -score, sidx, score, span_of),
+        num_keys=4, is_stable=True,
+    )
+    first = jnp.logical_and(
+        bad_s == 0,
+        jnp.concatenate([
+            jnp.ones((1,), bool),
+            jnp.logical_or(
+                qpos_s[1:] != qpos_s[:-1], line_s[1:] != line_s[:-1]
+            ),
+        ]),
+    )
+    uniq_count = jnp.sum(first.astype(jnp.int32))
+    (upos,) = jnp.nonzero(first, size=verify_budget, fill_value=-1)
+    safe = jnp.maximum(upos, 0)
+    uvalid = upos >= 0
+    q_u = qpos_s[safe]
+    line_u = jnp.clip(line_s[safe], 0, line_start.shape[0] - 1)
+    sidx_u = jnp.clip(sidx_s[safe], 0, shingle_anchor.shape[0] - 1)
+    sc_u = score_s[safe]
+    sp_u = spanof_s[safe]
+
+    # ---- verification windows (fan side + line-side segment) ----------
+    w = search_cfg.window_tokens
+    lead = (w - n) // 2
+    st_u = sp_start[sp_u]
+    ln_u = sp_len[sp_u]
+    local = q_u - st_u
+    a0 = jnp.minimum(jnp.maximum(0, local - lead), jnp.maximum(0, ln_u - w))
+    starts_a = st_u + a0
+    len_a = jnp.where(uvalid, jnp.minimum(ln_u - a0, w), 0)
+    mlt = search_cfg.max_line_tokens
+    lead_b = (mlt - n) // 2
+    anchor = shingle_anchor[sidx_u]
+    llen = line_len[line_u]
+    b0 = jnp.minimum(jnp.maximum(0, anchor - lead_b),
+                     jnp.maximum(0, llen - mlt))
+    starts_b = line_start[line_u] + b0
+    len_b = jnp.minimum(llen - b0, mlt)
+
+    offs = jnp.arange(w, dtype=jnp.int32)[None, :]
+    a = jnp.take(stream, jnp.clip(starts_a[:, None] + offs, 0, t_pad - 1))
+    offs_b = jnp.arange(mlt, dtype=jnp.int32)[None, :]
+    b = jnp.take(
+        script_stream,
+        jnp.clip(starts_b[:, None] + offs_b, 0, script_stream.shape[0] - 1),
+    )
+    if use_pallas:
+        vscore = sw_normalized_pallas(
+            a, b, len_a, len_b, search_cfg, interpret=interpret
+        )
+    else:
+        vscore = sw_normalized_jnp(a, b, len_a, len_b, search_cfg)
+
+    # ---- final compact: only verified hits leave the device -----------
+    keep = jnp.logical_and(uvalid, vscore >= search_cfg.verify_threshold)
+    ver_count = jnp.sum(keep.astype(jnp.int32))
+    (vpos,) = jnp.nonzero(keep, size=verify_budget, fill_value=-1)
+    vsafe = jnp.maximum(vpos, 0)
+    counts = (
+        jnp.zeros((verify_budget,), jnp.float32)
+        .at[0].set(cand_count.astype(jnp.float32))
+        .at[1].set(uniq_count.astype(jnp.float32))
+        .at[2].set(ver_count.astype(jnp.float32))
+    )
+    return jnp.stack([
+        q_u[vsafe].astype(jnp.float32),
+        line_u[vsafe].astype(jnp.float32),
+        sc_u[vsafe],
+        vscore[vsafe],
+        counts,
+    ])
 
 
 @functools.partial(
