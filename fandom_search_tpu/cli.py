@@ -43,7 +43,7 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chain-gap", type=int, default=None,
                    help="max token gap when chaining hits (default 12)")
     p.add_argument("--batch-queries", type=int, default=None,
-                   help="query shingles per device call (default 131072)")
+                   help="query shingles per device call (default 262144)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the jnp fallback instead of Pallas kernels")
     p.add_argument("--interpret", action="store_true",
@@ -62,6 +62,9 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
                         "(e.g. 4x2)")
     p.add_argument("--lsh", action="store_true",
                    help="use the LSH prefilter for candidate generation")
+    p.add_argument("--selfcheck", type=int, default=0, metavar="N",
+                   help="re-run N sample works through the NumPy oracle "
+                        "and report row agreement in the manifest")
 
 
 def _mesh_from_args(args) -> "MeshConfig | None":
@@ -295,6 +298,30 @@ def cmd_search(args) -> int:
         "seconds_search": round(t_search, 3),
         "stats": stats_d,
     }
+    qs = stats_d.get("num_query_shingles", 0) or 0
+    if qs and t_search > 0:
+        manifest["shingle_pairs_per_sec"] = round(
+            qs * index.num_shingles / t_search
+        )
+    if args.selfcheck and not args.oracle:
+        # recall-vs-oracle observability: replay a sample through the
+        # NumPy golden pipeline and compare row sets
+        from fandom_search_tpu.search.oracle import search_works_oracle
+
+        sample_ids = sorted(works)[: args.selfcheck]
+        sample = {w: works[w] for w in sample_ids}
+        orows, _ = search_works_oracle(sample, index, cfg)
+        key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
+        got = {key(r) for r in rows if r.work_id in sample}
+        want = {key(r) for r in orows}
+        manifest["selfcheck"] = {
+            "works": len(sample),
+            "oracle_rows": len(want),
+            "agreement": (
+                round(len(got & want) / len(want | got), 4)
+                if (want or got) else 1.0
+            ),
+        }
     print(json.dumps(manifest, default=str))
     return 0
 

@@ -65,7 +65,7 @@ class SearchConfig:
     # the matched shingle's position (search/common.py line_segment)
     max_line_tokens: int = 64
     chain_gap: int = 12              # max token gap when chaining hits
-    batch_queries: int = 1 << 17     # query shingles per device call
+    batch_queries: int = 1 << 18     # query shingles per device call
     script_pad_multiple: int = 2048  # script shingles padded to multiple
     # device->host candidate budget per batch: candidates are threshold-
     # compacted ON DEVICE (jnp.nonzero with static size) so only hits

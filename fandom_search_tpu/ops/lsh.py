@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fandom_search_tpu.config import LSHConfig, ShingleConfig
-from fandom_search_tpu.ops.distance_topk import NEG_INF, merge_topk_tile, pad_rows
+from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows
 
 
 def popcount32(v):
@@ -105,65 +105,107 @@ class LSHIndex:
 # ---------------------------------------------------------------------------
 
 
+# packed selection constants (same trick as ops/distance_topk.py):
+# packed = sim * 2^17 + (2^17 - 1 - col).  Hamming similarity is an
+# integer in [-bits, bits], bits <= 8192 keeps packed within int32.
+_COL_BITS = 17
+_COL_MASK = (1 << _COL_BITS) - 1
+_SENT = -(1 << 30)
+
+
 def _hamming_topk_kernel(
     ns_valid_ref,  # SMEM (1,) int32
     q_ref,         # VMEM [TQ, W] uint32
     st_ref,        # VMEM [W, TS] uint32 (codes transposed)
     vals_ref,      # VMEM [TQ, R] f32 out (similarity = bits - 2*hamming)
     idx_ref,       # VMEM [TQ, R] i32 out
-    run_vals,      # VMEM scratch [TQ, R] f32
-    run_idx,       # VMEM scratch [TQ, R] i32
+    run_ref,       # VMEM scratch [TQ, R] int32 packed, sorted desc
+    p_ref,         # VMEM scratch [TQ, TS] int32 packed tile
+    run_old_ref,   # VMEM scratch [TQ, R] int32 — prior run during merge
     *,
     rerank: int,
     tile_s: int,
     words: int,
     bits: int,
+    min_keep_sim: int,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _init():
-        run_vals[:] = jnp.full_like(run_vals[:], NEG_INF)
-        run_idx[:] = jnp.zeros_like(run_idx[:])
+        run_ref[:] = jnp.full_like(run_ref[:], _SENT)
 
     tq = q_ref.shape[0]
     acc = jnp.zeros((tq, tile_s), jnp.uint32)
-    for w in range(words):  # static unroll: W is 8 for 256 bits
+    for w in range(words):  # static unroll: W = bits/32
         qw = q_ref[:, w : w + 1]          # [TQ, 1]
         sw = st_ref[w : w + 1, :]         # [1, TS]
         acc = acc + popcount32(qw ^ sw)   # broadcast XOR -> [TQ, TS]
 
-    # similarity in "agreeing bits - disagreeing bits" units.
-    # NOTE: Mosaic cannot cast uint32 -> f32 directly; go via int32
-    # (acc <= bits <= 2^15, so the reinterpret is exact).
-    scores = jnp.float32(bits) - 2.0 * acc.astype(jnp.int32).astype(
-        jnp.float32
-    )
-    tile_base = j * tile_s
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1) + tile_base
-    scores = jnp.where(col_ids < ns_valid_ref[0], scores, NEG_INF)
+    # integer similarity; uint32 -> int32 is exact (acc <= bits)
+    sim = jnp.int32(bits) - 2 * acc.astype(jnp.int32)
 
-    # same provably-safe merge gate as the exact kernel (run_vals is
-    # sorted descending; strict > keeps lowest-index tie-breaking exact)
+    # merge gate (see distance_topk): skip unless some row can either
+    # improve its R-th best or clear the caller's keep threshold
+    row_max = jnp.max(sim, axis=1, keepdims=True)
+    kth = jax.lax.shift_right_arithmetic(
+        run_ref[:, rerank - 1 : rerank], _COL_BITS
+    )
     can_improve = jnp.any(
-        jnp.max(scores, axis=1, keepdims=True)
-        > run_vals[:, rerank - 1 : rerank]
+        jnp.logical_and(row_max > kth, row_max >= jnp.int32(min_keep_sim))
     )
 
-    @pl.when(jnp.logical_or(j == 0, can_improve))
+    @pl.when(can_improve)
     def _merge():
-        merge_topk_tile(run_vals, run_idx, scores, col_ids, rerank)
+        tile_base = j * tile_s
+        inv_col = (
+            jnp.int32(_COL_MASK - tile_base)
+            - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
+        )
+        p = sim * jnp.int32(1 << _COL_BITS) + inv_col
+        col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+        p_ref[:] = jnp.where(col_ok, p, jnp.int32(_SENT))
+        run_old_ref[:] = run_ref[:]
+        run_ref[:] = jnp.full((tq, rerank), _SENT, jnp.int32)
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (tq, rerank), 1)
+
+        # R selection passes in a fori_loop (constant compile size for
+        # any R, unlike an unrolled concat merge); the winner lands in
+        # run slot r via a one-hot select (dynamic lane stores are not
+        # expressible in Mosaic)
+        def step(r, _):
+            m = jnp.maximum(
+                jnp.max(p_ref[:], axis=1, keepdims=True),
+                jnp.max(run_old_ref[:], axis=1, keepdims=True),
+            )
+            run_ref[:] = jnp.where(lane_r == r, m, run_ref[:])
+            p_ref[:] = jnp.where(p_ref[:] == m, jnp.int32(_SENT), p_ref[:])
+            run_old_ref[:] = jnp.where(
+                run_old_ref[:] == m, jnp.int32(_SENT), run_old_ref[:]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, rerank, step, 0)
 
     @pl.when(j == nj - 1)
     def _emit():
-        vals_ref[:] = run_vals[:]
-        idx_ref[:] = run_idx[:]
+        packed = run_ref[:]
+        sim_out = jax.lax.shift_right_arithmetic(packed, _COL_BITS)
+        empty = packed == jnp.int32(_SENT)
+        vals_ref[:] = jnp.where(
+            empty, NEG_INF, sim_out.astype(jnp.float32)
+        )
+        idx_ref[:] = jnp.where(
+            empty, 0, jnp.int32(_COL_MASK) - (packed & jnp.int32(_COL_MASK))
+        )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rerank", "bits", "tile_q", "tile_s", "interpret"),
+    static_argnames=(
+        "rerank", "bits", "tile_q", "tile_s", "interpret", "min_keep_sim",
+    ),
 )
 def hamming_topk_pallas(
     q_codes: jax.Array,   # uint32 [NQ, W], NQ % tile_q == 0
@@ -175,17 +217,27 @@ def hamming_topk_pallas(
     tile_q: int = 256,
     tile_s: int = 512,
     interpret: bool = False,
+    min_keep_sim: int = _SENT,
 ) -> Tuple[jax.Array, jax.Array]:
-    # tile_s is deliberately small: the unrolled 32-word XOR+popcount
-    # keeps ~10 [tile_q, tile_s] u32 temporaries live, and scoped VMEM
-    # tops out at 16 MB (2048-wide tiles OOM the Mosaic stack).
+    """Fused Hamming-similarity top-R.  ``min_keep_sim`` (bits-scale)
+    declares that the caller discards candidates whose similarity is
+    below it, letting sub-threshold tiles skip the selection passes —
+    set it for prefiltering, leave at the sentinel for exact top-R.
+
+    tile_s is deliberately small: the unrolled 32-word XOR+popcount
+    keeps ~10 [tile_q, tile_s] u32 temporaries live, and scoped VMEM
+    tops out at 16 MB (2048-wide tiles OOM the Mosaic stack)."""
     nq, words = q_codes.shape
     ns = s_codes_t.shape[1]
     assert nq % tile_q == 0 and ns % tile_s == 0, (nq, ns)
+    assert ns <= (1 << _COL_BITS), (
+        f"hamming kernel packs {_COL_BITS} column bits; ns={ns} too large"
+    )
     grid = (nq // tile_q, ns // tile_s)
     kernel = functools.partial(
         _hamming_topk_kernel,
         rerank=rerank, tile_s=tile_s, words=words, bits=bits,
+        min_keep_sim=min_keep_sim,
     )
     ns_valid_arr = jnp.asarray(ns_valid, dtype=jnp.int32).reshape((1,))
     return pl.pallas_call(
@@ -202,7 +254,8 @@ def hamming_topk_pallas(
                 pl.BlockSpec((tile_q, rerank), lambda i, j, ns_ref: (i, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((tile_q, rerank), jnp.float32),
+                pltpu.VMEM((tile_q, rerank), jnp.int32),
+                pltpu.VMEM((tile_q, tile_s), jnp.int32),
                 pltpu.VMEM((tile_q, rerank), jnp.int32),
             ],
         ),
@@ -269,6 +322,27 @@ def rerank_exact(
     return vals.reshape(-1, k)[:nq], idx.reshape(-1, k)[:nq]
 
 
+def coarse_sim_threshold(
+    candidate_threshold: float, n: int, bits: int, sigmas: float = 6.0
+) -> int:
+    """Hamming-similarity floor equivalent to the engine's candidate
+    threshold, minus a ``sigmas`` safety margin of code noise.
+
+    A candidate with m matching words of n has expected similarity
+    bits*(1 - 2*acos(m/n)/pi) with sd 2*sqrt(bits*p*(1-p)); anything
+    the engine could keep sits ``sigmas`` deviations above this floor,
+    so gating the kernel on it loses ~nothing while letting noise
+    tiles skip the selection passes entirely."""
+    import math
+
+    ct = min(max(candidate_threshold / n, 0.0), 1.0)
+    theta = math.acos(ct)
+    p = theta / math.pi
+    mean_sim = bits * (1.0 - 2.0 * p)
+    sigma = 2.0 * math.sqrt(bits * p * (1.0 - p))
+    return max(int(mean_sim - sigmas * sigma), -bits)
+
+
 def lsh_topk(
     q_emb: jax.Array,
     lsh: LSHIndex,
@@ -279,6 +353,7 @@ def lsh_topk(
     *,
     interpret: bool = False,
     tile_q: int = 256,
+    min_keep_sim: int = _SENT,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate top-k: Hamming prefilter -> exact rerank."""
     nq = q_emb.shape[0]
@@ -289,6 +364,7 @@ def lsh_topk(
     vals1, idx1 = hamming_topk_pallas(
         q_codes, lsh.codes_t, lsh.ns_valid, cfg.rerank, cfg.bits,
         tile_q=tile_q, tile_s=tile_s, interpret=interpret,
+        min_keep_sim=min_keep_sim,
     )
     ok = vals1 > NEG_INF / 2
     vals, idx = rerank_exact(qp, s_emb_padded, idx1, ok, k, dim)
@@ -311,13 +387,20 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
 
     ns_true = engine.index.num_shingles
 
+    # the engine only keeps candidates >= candidate_threshold: gate the
+    # Hamming kernel on the equivalent similarity floor (6-sigma slack)
+    keep_sim = coarse_sim_threshold(
+        xcfg.candidate_threshold, scfg.n, cfg.bits
+    )
+
     @functools.partial(jax.jit, static_argnames=("max_out",))
     def candidates(stream, s_emb, ns_valid, salts, *, max_out):
         from fandom_search_tpu.search.engine import compact_candidates
 
         q_emb = embed_shingles(stream, scfg, salts=salts)
         vals, idx = lsh_topk(
-            q_emb, lsh, s_emb, xcfg.k, scfg.dim, cfg, interpret=interpret
+            q_emb, lsh, s_emb, xcfg.k, scfg.dim, cfg, interpret=interpret,
+            min_keep_sim=keep_sim,
         )
         return compact_candidates(
             vals, idx, xcfg.candidate_threshold, ns_true,

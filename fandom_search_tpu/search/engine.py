@@ -104,7 +104,10 @@ class SearchEngine:
         # no candidate is ever dropped; the budget is sticky across
         # batches to amortize the recompile.
         self._cand_budget = xcfg.max_candidates_per_batch
-        self._verify_budget = 2048
+        # deduped-candidate budget scales with batch size (bigger
+        # batches see proportionally more candidates; starting right
+        # avoids a mid-run recompile, ~90s on a remote-compile tunnel)
+        self._verify_budget = max(2048, xcfg.batch_queries // 64)
 
         # attribution tables on device for the fused batch path
         def _dev_i32(x):
@@ -301,7 +304,11 @@ class SearchEngine:
 
     def _submit_fused(self, stream, spans, stats: EngineStats):
         t0 = time.perf_counter()
-        nspans = _next_pow2(len(spans), 64)
+        # coarse floor: batch-to-batch span counts straddling a pow2
+        # boundary would compile a second fused variant mid-run (~90s
+        # on a remote-compile tunnel); 512 covers works >= ~512 tokens
+        # at any batch size and costs only 4KB of upload
+        nspans = _next_pow2(len(spans), 512)
         ext = np.empty((stream.shape[0] + 2 * nspans,), dtype=np.uint32)
         ext[: stream.shape[0]] = stream
         starts = ext[stream.shape[0] : stream.shape[0] + nspans]
