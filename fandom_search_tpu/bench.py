@@ -253,6 +253,38 @@ def main(argv=None) -> int:
     log(f"LSH: build {details['lsh_build_seconds']:.2f}s, query "
         f"{dt_lsh*1e3:.1f} ms ({nq*ns/dt_lsh/1e9:.2f} G pairs/s-equiv), "
         f"recall@10 vs exact = {details['lsh_recall_at_10_vs_exact']:.4f}")
+
+    # the engine's prefilter config: selection gated at the Hamming
+    # floor of the candidate threshold; recall measured on the
+    # candidates the engine consumes (score >= threshold)
+    from fandom_search_tpu.ops.lsh import coarse_sim_threshold
+
+    keep_sim = coarse_sim_threshold(thr, cfg.shingle.n, cfg.lsh.bits)
+    dt_g = _time(
+        jnp,
+        lambda: lsh_topk(q_dev, lsh, s_pad, k, dim, cfg.lsh,
+                         interpret=interpret, min_keep_sim=keep_sim),
+        iters=3,
+    )
+    gvals, _ = lsh_topk(q_dev[:cpu_nq], lsh, s_pad, k, dim, cfg.lsh,
+                        interpret=interpret, min_keep_sim=keep_sim)
+    ow = np.asarray(ovals).copy()
+    gw = np.round(np.asarray(gvals) * dim)
+    recs = []
+    for i in range(ow.shape[0]):
+        keepm = ow[i] >= thr
+        if keepm.sum():
+            recs.append(
+                np.sum(np.isin(np.round(ow[i][keepm] * dim), gw[i]))
+                / keepm.sum()
+            )
+    details["lsh_gated_pairs_per_sec_equiv"] = nq * ns / dt_g
+    details["lsh_gated_thresholded_recall"] = (
+        float(np.mean(recs)) if recs else 1.0
+    )
+    log(f"LSH gated (engine config, sim floor {keep_sim}): query "
+        f"{dt_g*1e3:.1f} ms ({nq*ns/dt_g/1e9:.2f} G pairs/s-equiv), "
+        f"thresholded recall = {details['lsh_gated_thresholded_recall']:.4f}")
     log("note: at this index size the exact MXU kernel outruns the "
         "linear-scan prefilter (see ops/lsh.py docstring)")
 

@@ -241,11 +241,14 @@ class SearchEngine:
         # at most two streams + outputs in flight.
         all_hits: List[CandidateHit] = []
         pending: List[Tuple] = []
+        # one batch of lookahead: deeper queues measured SLOWER on the
+        # axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
+        lookahead = 1
         for wids, stream, spans in self._batches(tokenized):
             stats.num_batches += 1
             if self._use_fused:
                 pending.append(self._submit_fused(stream, spans, stats))
-                if len(pending) == 2:
+                if len(pending) > lookahead:
                     all_hits.extend(self._process_fused(*pending.pop(0), stats))
                 continue
             t0 = time.perf_counter()

@@ -115,3 +115,37 @@ def test_engine_with_lsh_matches_oracle_rows(rng):
     # and at least 95% agreement with the exact engine overall
     a, b = {key(r) for r in rows_exact}, {key(r) for r in rows_lsh}
     assert len(a & b) >= 0.95 * len(a)
+
+
+def test_gated_prefilter_keeps_thresholded_candidates(rng):
+    # With the coarse similarity gate set from the candidate threshold,
+    # every candidate the ENGINE would keep (exact score >= threshold)
+    # must survive the prefilter.
+    from fandom_search_tpu.ops.lsh import coarse_sim_threshold
+    from fandom_search_tpu.ops.distance_topk import pad_rows, topk_dot_jnp
+    import jax.numpy as jnp
+
+    s_emb = _embeddings_from_text(rng, 1540)
+    q_emb = _embeddings_from_text(rng, 645)
+    q_emb[:200] = s_emb[700:900]  # exact matches (score 6.0)
+
+    thr = 3.5
+    keep_sim = coarse_sim_threshold(thr, SCFG.n, LCFG.bits)
+    lsh = LSHIndex.build(s_emb, LCFG, SCFG)
+    s_pad, _ = pad_rows(jnp.asarray(s_emb), 512)
+    gvals, gidx = lsh_topk(
+        q_emb, lsh, s_pad, K, DIM, LCFG, interpret=True,
+        min_keep_sim=keep_sim,
+    )
+    evals, eidx = topk_dot_jnp(q_emb, s_emb, K, DIM)
+    ev, gi = np.asarray(evals), np.asarray(gidx)
+    ei, gv = np.asarray(eidx), np.asarray(gvals)
+    missed = 0
+    total = 0
+    for i in range(ev.shape[0]):
+        want = set(ei[i][ev[i] >= thr].tolist())
+        got = set(gi[i][np.asarray(gv[i]) >= thr].tolist())
+        total += len(want)
+        missed += len(want - got)
+    assert total > 0
+    assert missed == 0, f"gated prefilter lost {missed}/{total} candidates"
