@@ -100,3 +100,28 @@ def test_min_keep_gating_exact_above_threshold(rng):
     # padding never fabricates an above-threshold score
     fake = (g >= thr) & ~keep
     assert not fake.any()
+
+
+def test_column_chunking_beyond_pack_range(rng, monkeypatch):
+    # Scripts wider than 2^COL_BITS shingles process in column chunks
+    # with a cross-chunk lax.top_k merge.  Exercise the chunk logic with
+    # shrunken constants (8 column bits -> 256-column chunks).
+    import fandom_search_tpu.ops.distance_topk as D
+
+    monkeypatch.setattr(D, "_COL_BITS", 8)
+    monkeypatch.setattr(D, "_COL_MASK", (1 << 8) - 1)
+    q, s = _rand_emb(rng, 64), _rand_emb(rng, 700)  # 3 chunks of <=256
+    vals, idx = D.topk_dot_pallas(
+        jnp_pad(q, 128), jnp_pad(s, 128), s.shape[0], K, DIM,
+        tile_q=64, tile_s=128, interpret=True,
+    )
+    vals, idx = vals[: q.shape[0]], idx[: q.shape[0]]
+    _check_against_oracle(vals, idx, q, s)
+
+
+def jnp_pad(x, mult):
+    import jax.numpy as jnp
+    from fandom_search_tpu.ops.distance_topk import pad_rows
+
+    p, _ = pad_rows(jnp.asarray(x), mult)
+    return p
