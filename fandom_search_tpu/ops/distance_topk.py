@@ -70,31 +70,6 @@ def topk_dot_jnp(
 # ---------------------------------------------------------------------------
 
 
-def merge_topk_tile(run_vals, run_idx, scores, col_ids, k: int) -> None:
-    """Fold a [TQ, TS] score tile into running top-k VMEM buffers.
-
-    k passes of (max, mask-out); ties break to the smallest global index
-    (the oracle / lax.top_k convention).  Shared by the dot-score kernel
-    here and the Hamming-code kernel in ops/lsh.py.
-    """
-    cat_vals = jnp.concatenate([run_vals[:], scores], axis=1)
-    cat_idx = jnp.concatenate([run_idx[:], col_ids], axis=1)
-
-    new_vals = []
-    new_idx = []
-    int_max = jnp.int32(2**31 - 1)
-    for _ in range(k):
-        m = jnp.max(cat_vals, axis=1, keepdims=True)                    # [TQ,1]
-        eq = cat_vals == m
-        sel = jnp.min(jnp.where(eq, cat_idx, int_max), axis=1, keepdims=True)
-        taken = jnp.logical_and(eq, cat_idx == sel)
-        new_vals.append(m)
-        new_idx.append(sel)
-        cat_vals = jnp.where(taken, NEG_INF, cat_vals)
-    run_vals[:] = jnp.concatenate(new_vals, axis=1)
-    run_idx[:] = jnp.concatenate(new_idx, axis=1)
-
-
 # Packed-selection constants: a candidate is one int32
 #   packed = score * 2^17 + (2^17 - 1 - global_col)
 # monotone in (score asc, col desc), so a single max() implements
