@@ -150,10 +150,12 @@ class SearchEngine:
     # -- batching ----------------------------------------------------------
 
     def _batches(
-        self, tokenized: Dict[str, Tokenized]
+        self, items: Iterable[Tuple[str, Tokenized]]
     ) -> Iterable[Tuple[List[str], np.ndarray, List[Tuple[str, int, int]]]]:
         """Pack works into fixed-size token streams.
 
+        ``items`` yields (work_id, Tokenized) in stable (sorted) order —
+        a dict's sorted items or the overlapped tokenizer stream.
         Yields (work_ids, stream uint32 [T_pad], spans) where spans is
         [(work_id, stream_offset, num_tokens)].
         """
@@ -163,8 +165,7 @@ class SearchEngine:
 
         cur: List[Tuple[str, Tokenized]] = []
         cur_len = 0
-        for wid in sorted(tokenized):
-            tk = tokenized[wid]
+        for wid, tk in items:
             need = len(tk)
             if need == 0:
                 continue
@@ -221,18 +222,23 @@ class SearchEngine:
     ) -> Tuple[List[MatchRow], EngineStats]:
         stats = EngineStats()
         scfg, xcfg = self.cfg.shingle, self.cfg.search
-        t0 = time.perf_counter()
         raw = {w: t for w, t in works.items() if not isinstance(t, Tokenized)}
         tokenized: Dict[str, Tokenized] = {
             wid: t for wid, t in works.items() if isinstance(t, Tokenized)
         }
-        if raw:
-            tokenized.update(tokenize_many(raw))  # native C++ when available
-        stats.num_works = len(tokenized)
+        stats.num_works = len(works)
         stats.extra["ns"] = float(self.index.num_shingles)
-        stats.seconds_host += time.perf_counter() - t0
         if self.index.num_shingles == 0:
+            if raw:
+                tokenized.update(tokenize_many(raw))
             return [], stats
+
+        # Tokenization overlaps device work: raw works tokenize in
+        # chunks on a worker thread (the C++ tokenizer drops the GIL,
+        # and the main thread spends its time blocked on device syncs),
+        # one chunk ahead of consumption.  Results accumulate into
+        # `tokenized` as they stream past — chaining needs them later.
+        items = self._work_stream(raw, tokenized)
 
         # Pipelined execution: submit batch N+1's device work BEFORE
         # syncing batch N's results, so the device runs ahead while the
@@ -244,7 +250,7 @@ class SearchEngine:
         # one batch of lookahead: deeper queues measured SLOWER on the
         # axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
         lookahead = 1
-        for wids, stream, spans in self._batches(tokenized):
+        for wids, stream, spans in self._batches(items):
             stats.num_batches += 1
             if self._use_fused:
                 pending.append(self._submit_fused(stream, spans, stats))
@@ -288,6 +294,40 @@ class SearchEngine:
         rows = chain_hits(list(uniq.values()), tokenized, self.index, scfg, xcfg)
         stats.seconds_host += time.perf_counter() - t0
         return rows, stats
+
+    @staticmethod
+    def _work_stream(
+        raw: Dict[str, str], tokenized: Dict[str, Tokenized],
+        chunk: int = 1024,
+    ) -> Iterable[Tuple[str, Tokenized]]:
+        """All works in sorted id order; raw text tokenizes one chunk
+        ahead on a worker thread and lands in ``tokenized``."""
+        import heapq
+
+        pre = iter(sorted(tokenized.items()))
+        if not raw:
+            yield from pre
+            return
+
+        def tokenized_chunks():
+            from concurrent.futures import ThreadPoolExecutor
+
+            ids = sorted(raw)
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(
+                    tokenize_many, {w: raw[w] for w in ids[:chunk]}
+                )
+                for i in range(0, len(ids), chunk):
+                    done = fut.result()
+                    nxt = ids[i + chunk : i + 2 * chunk]
+                    if nxt:
+                        fut = ex.submit(
+                            tokenize_many, {w: raw[w] for w in nxt}
+                        )
+                    tokenized.update(done)
+                    yield from sorted(done.items())
+
+        yield from heapq.merge(pre, tokenized_chunks())
 
     # -- fused batch path ----------------------------------------------------
 
