@@ -348,7 +348,10 @@ def cmd_bench(args) -> int:
     # interpreter so jax platform/device config starts clean
     import subprocess
 
-    return subprocess.call([sys.executable, "-m", "fandom_search_tpu.bench"])
+    cmd = [sys.executable, "-m", "fandom_search_tpu.bench"]
+    if args.quick:
+        cmd.append("--quick")
+    return subprocess.call(cmd)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -410,6 +413,8 @@ def build_parser() -> argparse.ArgumentParser:
     xp.set_defaults(fn=cmd_matrix)
 
     bp = sub.add_parser("bench", help="run the standard benchmark")
+    bp.add_argument("--quick", action="store_true",
+                    help="kernel-only regression check vs bench_expected.json")
     bp.set_defaults(fn=cmd_bench)
     return p
 

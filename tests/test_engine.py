@@ -166,3 +166,45 @@ def test_candidate_budget_overflow_retries(world, caplog):
         rows_tiny, _ = tiny.search_works(works)
     assert tiny._cand_budget > 8, "budget never grew despite overflow"
     assert {_row_key(r) for r in rows_tiny} == {_row_key(r) for r in rows_big}
+
+
+def test_recall_curve_over_edit_distance():
+    # SURVEY.md section 5: planted quotes "mutated at controlled edit
+    # distance ... recall must be 1.0 above the verification threshold,
+    # ~0 below".  10-word lines with e substitutions score roughly
+    # (10-e)/10 after alignment, so e <= 4 clears verify_threshold=0.35
+    # comfortably; pure noise must produce nothing.
+    rng = np.random.default_rng(123)
+    from fandom_search_tpu.utils.synthetic import make_vocab
+
+    vocab = make_vocab(rng, 3000)
+    script_lines = [
+        " ".join(vocab[i] for i in rng.integers(0, len(vocab), 10))
+        for _ in range(12)
+    ]
+    script_text = "\n".join(f"ALICE: {t}" for t in script_lines)
+    lines = parse_script(script_text)
+    index = build_script_index(lines, CFG.shingle, CFG.search)
+    eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+
+    for edits in (0, 1, 2, 3):
+        works, planted = make_corpus_with_quotes(
+            rng, script_lines, num_works=6, words_per_work=200,
+            quotes_per_work=1, num_edits=edits, vocab=vocab,
+        )
+        rows, _ = eng.search_works(works)
+        found = {(r.work_id, r.line_no) for r in rows}
+        want = {(p.work_id, p.line_no) for p in planted}
+        missed = want - found
+        assert not missed, f"edits={edits}: missed {missed}"
+
+    # below the threshold: pure noise from a disjoint vocab
+    noise_vocab = make_vocab(np.random.default_rng(777), 2000)
+    noise_works = {
+        f"n{i}": " ".join(
+            noise_vocab[j] for j in rng.integers(0, len(noise_vocab), 300)
+        )
+        for i in range(6)
+    }
+    rows, _ = eng.search_works(noise_works)
+    assert rows == [], f"noise produced {len(rows)} spurious rows"
