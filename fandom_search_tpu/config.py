@@ -87,17 +87,19 @@ class LSHConfig:
     >= 0.99 (BASELINE.md targets).
 
     ``rerank`` is also the width of the kernel's running-selection
-    buffer (one gated max/mask pass per slot).  Measured recall@10 vs
-    the exact kernel: 0.87 at rerank=32, 0.96 at 64, 0.99 at 128 —
-    the hard case is pure-noise queries whose top-10 margins are
+    buffer (one gated selection pass per slot; fori-based, so compile
+    size is constant in R).  Measured recall@10 vs the exact kernel on
+    an 8192-shingle index: 0.97 at rerank=128, 0.99 at 256, 0.998 at
+    512 — the hard case is pure-noise queries whose top-10 margins sit
     within code noise; *thresholded* recall (candidates the engine
-    actually consumes, score >= candidate_threshold) is 1.0 already
-    at rerank=32 because a single matching word moves the Hamming
-    score by ~5 sigma of code noise.
+    actually consumes, score >= candidate_threshold) is 1.0 already at
+    rerank=32 because a single matching word moves the Hamming score
+    by ~5 sigma of code noise.  256 is the default: the matched-recall
+    configuration of BASELINE.md.
     """
 
     bits: int = 1024
-    rerank: int = 128    # candidates kept per query for exact re-score
+    rerank: int = 256    # candidates kept per query for exact re-score
     seed: int = 0xB175
 
     def __post_init__(self) -> None:

@@ -120,9 +120,6 @@ class ShardedSearchEngine(SearchEngine):
         interpret: bool = False,
     ):
         super().__init__(index, cfg, use_pallas=use_pallas, interpret=interpret)
-        # the sharded engine swaps individual stages, so it keeps the
-        # two-stage batch flow instead of the fused single-call path
-        self._use_fused = False
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh)
         scfg, xcfg = cfg.shingle, cfg.search
         works = self.mesh.shape[AXIS_WORKS]
@@ -192,6 +189,63 @@ class ShardedSearchEngine(SearchEngine):
             check_vma=False,
         )
 
+        # ---- fused single-call path over the mesh --------------------
+        # Same structure as engine._fused_jit: sharded top-k (script
+        # axis merged over ICI) feeds the shared dedup/window/verify
+        # tail, with verification shard_mapped over the works axis.
+        eng_self = self
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("cand_budget", "verify_budget", "nspans"),
+        )
+        def fused(stream_ext, *, cand_budget, verify_budget, nspans):
+            from fandom_search_tpu.search.engine import fused_tail
+
+            n = scfg.n
+            t_pad = stream_ext.shape[0] - 2 * nspans
+            stream = stream_ext[:t_pad]
+            sp_start = stream_ext[t_pad : t_pad + nspans].astype(jnp.int32)
+            sp_len = stream_ext[t_pad + nspans :].astype(jnp.int32)
+            q_emb = embed_shingles(stream, scfg, salts=eng_self._salts)
+            vals, idx = sharded_topk(
+                mesh_, q_emb, eng_self._s_emb_sharded,
+                eng_self._ns_valid_shards, xcfg.k, scfg.dim,
+                use_pallas=up, interpret=ip,
+                min_keep=xcfg.candidate_threshold,
+            )
+            qpos, sidx, score, cand_count = compact_candidates(
+                vals, idx, xcfg.candidate_threshold, ns_true,
+                xcfg.k, cand_budget,
+            )
+
+            def verify_impl(a, b, len_a, len_b):
+                bsz = a.shape[0]
+                unit = works * tile_b
+                pad = (-bsz) % unit
+                if pad:
+                    a_ = jnp.pad(a, ((0, pad), (0, 0)))
+                    b_ = jnp.pad(b, ((0, pad), (0, 0)))
+                    la_ = jnp.pad(len_a, (0, pad))
+                    lb_ = jnp.pad(len_b, (0, pad))
+                else:
+                    a_, b_, la_, lb_ = a, b, len_a, len_b
+                out = verify_sharded(
+                    a_, b_, la_.reshape(-1, 1), lb_.reshape(-1, 1)
+                )
+                return out[:bsz, 0]
+
+            return fused_tail(
+                stream, sp_start, sp_len, qpos, sidx, score, cand_count,
+                eng_self._script_stream, eng_self._shingle_line_d,
+                eng_self._shingle_anchor_d, eng_self._line_start_d,
+                eng_self._line_len_d,
+                n=n, search_cfg=xcfg, verify_budget=verify_budget,
+                nspans=nspans, verify_impl=verify_impl,
+            )
+
+        self._sharded_fused = fused
+
         @jax.jit
         def verify(stream, packed, script_stream):
             starts_a, len_a, starts_b, len_b = (
@@ -225,3 +279,9 @@ class ShardedSearchEngine(SearchEngine):
             return out[:bsz, 0]
 
         self._verify_fn = verify
+
+    def _fused_call(self, ext_dev, nspans, cand_budget, verify_budget):
+        return self._sharded_fused(
+            ext_dev, cand_budget=cand_budget, verify_budget=verify_budget,
+            nspans=nspans,
+        )

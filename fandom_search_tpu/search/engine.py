@@ -361,15 +361,18 @@ class SearchEngine:
         starts[: len(spans)] = [off for _, off, _ in spans]
         lens[: len(spans)] = [m for _, _, m in spans]
         ext_dev = jnp.asarray(ext)  # ONE upload per batch
-        out = _fused_jit(
-            ext_dev, *self._fused_args(),
-            cand_budget=self._cand_budget,
-            verify_budget=self._verify_budget,
-            nspans=nspans,
-            **self._fused_statics(),
+        out = self._fused_call(
+            ext_dev, nspans, self._cand_budget, self._verify_budget
         )
         stats.seconds_device_topk += time.perf_counter() - t0
         return ext_dev, spans, nspans, self._cand_budget, self._verify_budget, out
+
+    def _fused_call(self, ext_dev, nspans, cand_budget, verify_budget):
+        return _fused_jit(
+            ext_dev, *self._fused_args(),
+            cand_budget=cand_budget, verify_budget=verify_budget,
+            nspans=nspans, **self._fused_statics(),
+        )
 
     def _process_fused(
         self, ext_dev, spans, nspans, cand_budget, verify_budget, out,
@@ -397,10 +400,8 @@ class SearchEngine:
                 "budgets %d/%d", cand_count, uniq_count,
                 cand_budget, verify_budget,
             )
-            out = _fused_jit(
-                ext_dev, *self._fused_args(),
-                cand_budget=cand_budget, verify_budget=verify_budget,
-                nspans=nspans, **self._fused_statics(),
+            out = self._fused_call(
+                ext_dev, nspans, cand_budget, verify_budget
             )
         ver_count = int(host[4, 2])
         stats.num_candidates += uniq_count
@@ -691,6 +692,35 @@ def _fused_jit(
         vals, idx, threshold, ns_valid, k, cand_budget
     )
 
+    if use_pallas:
+        def verify_impl(a, b, len_a, len_b):
+            return sw_normalized_pallas(
+                a, b, len_a, len_b, search_cfg, interpret=interpret
+            )
+    else:
+        def verify_impl(a, b, len_a, len_b):
+            return sw_normalized_jnp(a, b, len_a, len_b, search_cfg)
+
+    return fused_tail(
+        stream, sp_start, sp_len, qpos, sidx, score, cand_count,
+        script_stream, shingle_line, shingle_anchor, line_start, line_len,
+        n=n, search_cfg=search_cfg, verify_budget=verify_budget,
+        nspans=nspans, verify_impl=verify_impl,
+    )
+
+
+def fused_tail(
+    stream, sp_start, sp_len, qpos, sidx, score, cand_count,
+    script_stream, shingle_line, shingle_anchor, line_start, line_len,
+    *, n, search_cfg, verify_budget, nspans, verify_impl,
+):
+    """Dedup -> windows -> verification -> verified-hit compaction.
+
+    Shared by the single-device fused call and the sharded engine's
+    fused call (which supplies a shard_map-wrapped verify_impl).
+    """
+    t_pad = stream.shape[0]
+
     # ---- dedup per (qpos, line), max score, stable ties ---------------
     ok = qpos >= 0
     span_of = jnp.clip(
@@ -749,12 +779,7 @@ def _fused_jit(
         script_stream,
         jnp.clip(starts_b[:, None] + offs_b, 0, script_stream.shape[0] - 1),
     )
-    if use_pallas:
-        vscore = sw_normalized_pallas(
-            a, b, len_a, len_b, search_cfg, interpret=interpret
-        )
-    else:
-        vscore = sw_normalized_jnp(a, b, len_a, len_b, search_cfg)
+    vscore = verify_impl(a, b, len_a, len_b)
 
     # ---- final compact: only verified hits leave the device -----------
     keep = jnp.logical_and(uvalid, vscore >= search_cfg.verify_threshold)
