@@ -362,9 +362,12 @@ def main(argv=None) -> int:
             "e2e_query_shingles": stats.num_query_shingles,
             "e2e_matches": len(rows),
             "e2e_pairs_per_sec": stats.shingle_pairs / e2e_dt,
-            "e2e_device_topk_seconds": stats.seconds_device_topk,
-            "e2e_device_verify_seconds": stats.seconds_device_verify,
-            "e2e_host_seconds": stats.seconds_host,
+            # fused engine: one device call per batch; "submit" is the
+            # dispatch cost, everything else (device wait + host work)
+            # lands in process_seconds — per-stage split is not
+            # observable from outside one fused call
+            "e2e_submit_seconds": stats.seconds_device_topk,
+            "e2e_process_seconds": stats.seconds_host,
             "cpu_e2e_sample_works": n_cpu_works,
             "cpu_e2e_sample_seconds": cpu_sample_dt,
             "cpu_e2e_extrapolated_seconds": cpu_e2e_est,
