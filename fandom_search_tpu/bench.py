@@ -62,12 +62,21 @@ def _time(jnp, fn, iters=10):
 
 
 def _recall_by_score(want_vals, got_vals, dim, k):
-    """recall@k counted by score multiset (ties make index sets ambiguous)."""
+    """recall@k counted by score MULTISET (ties make index sets
+    ambiguous, but each tied oracle entry must be matched by its own
+    kernel entry — set membership would mask lost duplicates)."""
     w = np.round(np.asarray(want_vals) * dim)
     g = np.round(np.asarray(got_vals) * dim)
     rec = 0.0
     for i in range(w.shape[0]):
-        rec += np.sum(np.isin(w[i], g[i])) / k
+        wv, wc = np.unique(w[i], return_counts=True)
+        gv, gc = np.unique(g[i], return_counts=True)
+        got_counts = dict(zip(gv.tolist(), gc.tolist()))
+        hit = sum(
+            min(int(c), got_counts.get(v, 0))
+            for v, c in zip(wv.tolist(), wc.tolist())
+        )
+        rec += hit / k
     return rec / max(1, w.shape[0])
 
 

@@ -298,7 +298,11 @@ def cmd_search(args) -> int:
         "seconds_search": round(t_search, 3),
         "stats": stats_d,
     }
-    qs = stats_d.get("num_query_shingles", 0) or 0
+    qs = (
+        stats_d.get("num_query_shingles", 0)
+        or stats_d.get("query_shingles", 0)  # ResumableRunner summary key
+        or 0
+    )
     if qs and t_search > 0:
         manifest["shingle_pairs_per_sec"] = round(
             qs * index.num_shingles / t_search

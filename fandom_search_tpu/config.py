@@ -76,6 +76,16 @@ class SearchConfig:
     sw_mismatch: float = -1.0
     sw_gap: float = -1.0
 
+    def __post_init__(self) -> None:
+        # The fused batch path rides candidate counts and positions
+        # through f32 (exact integers only below 2^24): the raw
+        # candidate count is bounded by batch_queries * k.
+        if self.batch_queries * self.k >= 1 << 24:
+            raise ValueError(
+                f"batch_queries*k ({self.batch_queries}*{self.k}) must stay "
+                f"below 2^24 for exact f32 counts in the fused batch path"
+            )
+
 
 @dataclass(frozen=True)
 class LSHConfig:

@@ -230,9 +230,32 @@ def hamming_topk_pallas(
     nq, words = q_codes.shape
     ns = s_codes_t.shape[1]
     assert nq % tile_q == 0 and ns % tile_s == 0, (nq, ns)
-    assert ns <= (1 << _COL_BITS), (
-        f"hamming kernel packs {_COL_BITS} column bits; ns={ns} too large"
-    )
+
+    max_cols = 1 << _COL_BITS
+    if ns > max_cols:
+        # Column-chunk like ops/distance_topk.py: the packed (sim, col)
+        # selection carries 17 column bits, so indexes wider than 2^17
+        # shingles run the kernel per chunk and merge the small
+        # per-chunk top-R tables with lax.top_k (ascending chunk order
+        # keeps lowest-index tie-breaking).
+        vs, ids = [], []
+        for c0 in range(0, ns, max_cols):
+            s_c = s_codes_t[:, c0 : c0 + max_cols]
+            nsv_c = jnp.clip(
+                jnp.asarray(ns_valid, jnp.int32) - c0, 0, s_c.shape[1]
+            )
+            v, i = hamming_topk_pallas(
+                q_codes, s_c, nsv_c, rerank, bits,
+                tile_q=tile_q, tile_s=min(tile_s, s_c.shape[1]),
+                interpret=interpret, min_keep_sim=min_keep_sim,
+            )
+            vs.append(v)
+            ids.append(i + c0)
+        allv = jnp.concatenate(vs, axis=1)
+        alli = jnp.concatenate(ids, axis=1)
+        mv, mp = jax.lax.top_k(allv, rerank)
+        return mv, jnp.take_along_axis(alli, mp, axis=1)
+
     grid = (nq // tile_q, ns // tile_s)
     kernel = functools.partial(
         _hamming_topk_kernel,

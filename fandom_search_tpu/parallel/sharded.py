@@ -189,6 +189,24 @@ class ShardedSearchEngine(SearchEngine):
             check_vma=False,
         )
 
+        def _pad_and_verify(a, b, len_a, len_b):
+            """Pad the verify batch to works*tile_b (shard-aligned) and
+            run the works-sharded SW; shared by the fused and two-stage
+            paths so the padding logic cannot drift."""
+            bsz = a.shape[0]
+            unit = works * tile_b
+            pad = (-bsz) % unit
+            if pad:
+                a = jnp.pad(a, ((0, pad), (0, 0)))
+                b = jnp.pad(b, ((0, pad), (0, 0)))
+                len_a = jnp.pad(len_a, (0, pad))
+                len_b = jnp.pad(len_b, (0, pad))
+            out = verify_sharded(
+                a, b, len_a.reshape(-1, 1), len_b.reshape(-1, 1)
+            )
+            return out[:bsz, 0]
+
+
         # ---- fused single-call path over the mesh --------------------
         # Same structure as engine._fused_jit: sharded top-k (script
         # axis merged over ICI) feeds the shared dedup/window/verify
@@ -219,29 +237,13 @@ class ShardedSearchEngine(SearchEngine):
                 xcfg.k, cand_budget,
             )
 
-            def verify_impl(a, b, len_a, len_b):
-                bsz = a.shape[0]
-                unit = works * tile_b
-                pad = (-bsz) % unit
-                if pad:
-                    a_ = jnp.pad(a, ((0, pad), (0, 0)))
-                    b_ = jnp.pad(b, ((0, pad), (0, 0)))
-                    la_ = jnp.pad(len_a, (0, pad))
-                    lb_ = jnp.pad(len_b, (0, pad))
-                else:
-                    a_, b_, la_, lb_ = a, b, len_a, len_b
-                out = verify_sharded(
-                    a_, b_, la_.reshape(-1, 1), lb_.reshape(-1, 1)
-                )
-                return out[:bsz, 0]
-
             return fused_tail(
                 stream, sp_start, sp_len, qpos, sidx, score, cand_count,
                 eng_self._script_stream, eng_self._shingle_line_d,
                 eng_self._shingle_anchor_d, eng_self._line_start_d,
                 eng_self._line_len_d,
                 n=n, search_cfg=xcfg, verify_budget=verify_budget,
-                nspans=nspans, verify_impl=verify_impl,
+                nspans=nspans, verify_impl=_pad_and_verify,
             )
 
         self._sharded_fused = fused
@@ -262,21 +264,7 @@ class ShardedSearchEngine(SearchEngine):
                 starts_b[:, None] + offs_b, 0, script_stream.shape[0] - 1
             )
             b = jnp.take(script_stream, gather_b)
-            # pad batch to works * tile_b so each shard is tile-aligned
-            bsz = a.shape[0]
-            unit = works * tile_b
-            pad = (-bsz) % unit
-            if pad:
-                a = jnp.pad(a, ((0, pad), (0, 0)))
-                b = jnp.pad(b, ((0, pad), (0, 0)))
-                len_a_p = jnp.pad(len_a, (0, pad))
-                len_b = jnp.pad(len_b, (0, pad))
-            else:
-                len_a_p = len_a
-            out = verify_sharded(
-                a, b, len_a_p.reshape(-1, 1), len_b.reshape(-1, 1)
-            )
-            return out[:bsz, 0]
+            return _pad_and_verify(a, b, len_a, len_b)
 
         self._verify_fn = verify
 

@@ -35,7 +35,7 @@ from fandom_search_tpu.data.shingler import embed_shingles
 from fandom_search_tpu.ops.embed import embed_shingles_pallas
 from fandom_search_tpu.data.tokenizer import Tokenized
 from fandom_search_tpu.data.fast_tokenizer import tokenize_many
-from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_jnp, topk_dot_pallas
+from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_pallas
 from fandom_search_tpu.ops.smith_waterman import sw_normalized_jnp, sw_normalized_pallas
 from fandom_search_tpu.search.chain import chain_hits
 from fandom_search_tpu.search.common import line_segment
@@ -163,7 +163,7 @@ class SearchEngine:
         n = self.cfg.shingle.n
         t_pad = cap + n - 1
 
-        cur: List[Tuple[str, Tokenized]] = []
+        cur: List[Tuple[str, Tokenized, int]] = []
         cur_len = 0
         for wid, tk in items:
             need = len(tk)
@@ -189,7 +189,15 @@ class SearchEngine:
                         offsets=tk.offsets[pos:end],
                         hashes=tk.hashes[pos:end],
                     )
-                    yield from self._flush([(f"{wid}\x00{pos}", piece)], t_pad)
+                    # fresh shingles exclude those already counted in
+                    # the previous chunk's overlap (stats exactness)
+                    fresh = (
+                        end - pos - n + 1 if pos == 0
+                        else end - pos - ov
+                    )
+                    yield from self._flush(
+                        [(f"{wid}\x00{pos}", piece, max(0, fresh))], t_pad
+                    )
                     if end == need:
                         break
                     pos = end - ov
@@ -197,7 +205,7 @@ class SearchEngine:
             if cur_len + need > cap and cur:
                 yield from self._flush(cur, t_pad)
                 cur, cur_len = [], 0
-            cur.append((wid, tk))
+            cur.append((wid, tk, need - n + 1))
             cur_len += need
         if cur:
             yield from self._flush(cur, t_pad)
@@ -207,12 +215,14 @@ class SearchEngine:
         stream = np.zeros((t_pad,), dtype=np.uint32)
         spans = []
         off = 0
-        for wid, tk in items:
+        fresh_total = 0
+        for wid, tk, fresh in items:
             m = len(tk)
             stream[off : off + m] = tk.hashes
             spans.append((wid, off, m))
             off += m
-        yield [w for w, _, _ in spans], stream, spans
+            fresh_total += max(0, fresh)
+        yield [w for w, _, _ in spans], stream, spans, fresh_total
 
     # -- search ------------------------------------------------------------
 
@@ -250,8 +260,9 @@ class SearchEngine:
         # one batch of lookahead: deeper queues measured SLOWER on the
         # axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
         lookahead = 1
-        for wids, stream, spans in self._batches(items):
+        for wids, stream, spans, fresh in self._batches(items):
             stats.num_batches += 1
+            stats.num_query_shingles += fresh
             if self._use_fused:
                 pending.append(self._submit_fused(stream, spans, stats))
                 if len(pending) > lookahead:
@@ -410,8 +421,7 @@ class SearchEngine:
         starts = np.array([off for _, off, _ in spans], dtype=np.int64)
         lens = np.array([m for _, _, m in spans], dtype=np.int64)
         wids = [w for w, _, _ in spans]
-        for _, off, m in spans:
-            stats.num_query_shingles += max(0, m - scfg.n + 1)
+        # (num_query_shingles counted at batch creation, overlap-exact)
 
         qpos = host[0, :ver_count].astype(np.int64)
         line = host[1, :ver_count].astype(np.int64)
@@ -476,8 +486,7 @@ class SearchEngine:
         starts = np.array([off for _, off, _ in spans], dtype=np.int64)
         lens = np.array([m for _, _, m in spans], dtype=np.int64)
         wids = [w for w, _, _ in spans]
-        for _, off, m in spans:
-            stats.num_query_shingles += max(0, m - scfg.n + 1)
+        # (num_query_shingles counted at batch creation, overlap-exact)
 
         if n_kept == 0:
             stats.seconds_host += time.perf_counter() - t0
@@ -596,6 +605,39 @@ def compact_candidates(vals, idx, threshold, ns, k: int, max_out: int):
     )
 
 
+def _candidate_stage(stream, s_emb_padded, ns_valid, salts, *, k, dim,
+                     shingle_cfg, use_pallas, interpret, threshold):
+    """Embed the stream and produce thresholded top-k (vals, idx).
+
+    Shared by the two-stage candidates call and the fused batch call so
+    the two paths cannot drift."""
+    if use_pallas:
+        # single-pass fused embedding (ops/embed.py); min_keep = the
+        # compaction threshold so sub-threshold rows skip the top-k
+        # merge entirely (the engine never reads them)
+        q_emb = embed_shingles_pallas(
+            stream, shingle_cfg, salts=salts, interpret=interpret
+        )
+        qp, _ = pad_rows(q_emb, 128)
+        vals, idx = topk_dot_pallas(
+            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret,
+            min_keep=threshold,
+        )
+        return vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
+    # jnp path: mask padded script rows via a validity column
+    q_emb = embed_shingles(stream, shingle_cfg, salts=salts)
+    scores = jax.lax.dot_general(
+        q_emb.astype(jnp.bfloat16),
+        s_emb_padded.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jnp.arange(s_emb_padded.shape[0], dtype=jnp.int32)[None, :]
+    scores = jnp.where(col < ns_valid, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals / dim, idx.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -605,32 +647,11 @@ def compact_candidates(vals, idx, threshold, ns, k: int, max_out: int):
 )
 def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
                     shingle_cfg, use_pallas, interpret, threshold, max_out):
-    if use_pallas:
-        # single-pass fused embedding (ops/embed.py)
-        q_emb = embed_shingles_pallas(
-            stream, shingle_cfg, salts=salts, interpret=interpret
-        )
-        qp, _ = pad_rows(q_emb, 128)
-        # min_keep = the compaction threshold: sub-threshold rows skip
-        # the top-k merge entirely (the engine never reads them)
-        vals, idx = topk_dot_pallas(
-            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret,
-            min_keep=threshold,
-        )
-        vals, idx = vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
-    else:
-        # jnp path: mask padded script rows via a validity column
-        q_emb = embed_shingles(stream, shingle_cfg, salts=salts)
-        scores = jax.lax.dot_general(
-            q_emb.astype(jnp.bfloat16),
-            s_emb_padded.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        col = jnp.arange(s_emb_padded.shape[0], dtype=jnp.int32)[None, :]
-        scores = jnp.where(col < ns_valid, scores, NEG_INF)
-        vals, idx = jax.lax.top_k(scores, k)
-        vals, idx = vals / dim, idx.astype(jnp.int32)
+    vals, idx = _candidate_stage(
+        stream, s_emb_padded, ns_valid, salts, k=k, dim=dim,
+        shingle_cfg=shingle_cfg, use_pallas=use_pallas,
+        interpret=interpret, threshold=threshold,
+    )
     return compact_candidates(vals, idx, threshold, ns_valid, k, max_out)
 
 
@@ -666,28 +687,11 @@ def _fused_jit(
 
     # ---- candidates (embed -> fused top-k -> threshold compact) ------
     threshold = search_cfg.candidate_threshold
-    if use_pallas:
-        q_emb = embed_shingles_pallas(
-            stream, shingle_cfg, salts=salts, interpret=interpret
-        )
-        qp, _ = pad_rows(q_emb, 128)
-        vals, idx = topk_dot_pallas(
-            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret,
-            min_keep=threshold,
-        )
-        vals, idx = vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
-    else:
-        q_emb = embed_shingles(stream, shingle_cfg, salts=salts)
-        scores = jax.lax.dot_general(
-            q_emb.astype(jnp.bfloat16),
-            s_emb_padded.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        col = jnp.arange(s_emb_padded.shape[0], dtype=jnp.int32)[None, :]
-        scores = jnp.where(col < ns_valid, scores, NEG_INF)
-        vals, idx = jax.lax.top_k(scores, k)
-        vals, idx = vals / dim, idx.astype(jnp.int32)
+    vals, idx = _candidate_stage(
+        stream, s_emb_padded, ns_valid, salts, k=k, dim=dim,
+        shingle_cfg=shingle_cfg, use_pallas=use_pallas,
+        interpret=interpret, threshold=threshold,
+    )
     qpos, sidx, score, cand_count = compact_candidates(
         vals, idx, threshold, ns_valid, k, cand_budget
     )

@@ -149,3 +149,30 @@ def test_gated_prefilter_keeps_thresholded_candidates(rng):
         missed += len(want - got)
     assert total > 0
     assert missed == 0, f"gated prefilter lost {missed}/{total} candidates"
+
+
+def test_lsh_column_chunking_beyond_pack_range(rng, monkeypatch):
+    # Indexes wider than 2^COL_BITS shingles must column-chunk, not
+    # crash (the regime where a prefilter matters most).  Exercise the
+    # chunk logic with shrunken constants: 9 column bits -> 512-col
+    # chunks, ns_pad 1536 -> 3 chunks.
+    import fandom_search_tpu.ops.lsh as L
+
+    monkeypatch.setattr(L, "_COL_BITS", 9)
+    monkeypatch.setattr(L, "_COL_MASK", (1 << 9) - 1)
+
+    s_emb = _embeddings_from_text(rng, 1300)
+    q_emb = _embeddings_from_text(rng, 200)
+    q_emb[:64] = s_emb[600:664]
+    from fandom_search_tpu.ops.distance_topk import pad_rows, topk_dot_jnp
+    import jax.numpy as jnp
+
+    lsh = LSHIndex.build(s_emb, LCFG, SCFG)
+    assert lsh.codes_t.shape[1] > (1 << 9)  # chunking actually engaged
+    s_pad, _ = pad_rows(jnp.asarray(s_emb), 512)
+    vals, idx = lsh_topk(q_emb, lsh, s_pad, K, DIM, LCFG, interpret=True)
+    evals, _ = topk_dot_jnp(q_emb, s_emb, K, DIM)
+    # planted exact matches must rank first with full score
+    np.testing.assert_allclose(
+        np.asarray(vals)[:64, 0], np.asarray(evals)[:64, 0], atol=1e-6
+    )
