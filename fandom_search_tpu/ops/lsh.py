@@ -405,7 +405,9 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
     engine.lsh = lsh
     scfg = engine.cfg.shingle
     xcfg = engine.cfg.search
-    interpret = engine.interpret
+    # stage 1 is always the Pallas Hamming kernel; on a CPU backend it
+    # must run in interpret mode regardless of the engine's flags
+    interpret = engine.interpret or jax.devices()[0].platform == "cpu"
     s_emb_padded = engine._s_emb_padded
 
     ns_true = engine.index.num_shingles

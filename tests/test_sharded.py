@@ -106,3 +106,27 @@ def test_sharded_engine_pallas_interpret(world):
     rows2, _ = sharded.search_works(works)
     key = lambda r: (r.work_id, r.fan_token_start, r.fan_token_end, r.line_no)
     assert {key(r) for r in rows1} == {key(r) for r in rows2}
+
+
+def test_sharded_engine_with_lsh_prefilter(world):
+    # the LSH prefilter swaps the candidate stage on ANY engine,
+    # including the sharded one (which then uses the two-stage flow)
+    import dataclasses as dc
+
+    from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
+    from fandom_search_tpu.search.index import build_script_index
+
+    lines, works, planted = world
+    cfg = PipelineConfig()
+    cfg = dc.replace(cfg, search=dc.replace(cfg.search, batch_queries=2048))
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    mesh = _mesh(2, 1)
+    base = ShardedSearchEngine(index, cfg, mesh=mesh, use_pallas=False)
+    want, _ = base.search_works(works)
+
+    eng = ShardedSearchEngine(index, cfg, mesh=mesh, use_pallas=False)
+    attach_lsh_prefilter(eng, cfg.lsh)
+    got, stats = eng.search_works(works)
+    key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
+    assert {key(r) for r in got} == {key(r) for r in want}
+    assert stats.num_verified > 0
