@@ -26,11 +26,14 @@ by three implementations: NumPy (search/verify_np.py), jnp lax.scan
 
 Performance notes (measured on v5e, 2026-08-16): ~2.3 G cells/s at
 tile_b=256.  The limit is per-step loop machinery, not arithmetic —
-two restructurings that should beat it fail to compile on current
-Mosaic: (a) fori_loop carries instead of VMEM scratch (layout
-unification of carried tensors fails, which is why scratch is used at
-all), and (b) full static unroll of the 127 anti-diagonal steps
-(remote compile rejects the kernel).  Revisit when Mosaic's loop
+three restructurings tried and rejected: (a) fori_loop carries instead
+of VMEM scratch fail to compile (layout unification of carried
+tensors, which is why scratch is used at all); (b) full static unroll
+of the 127 anti-diagonal steps is rejected by the remote compiler;
+(c) packing TWO pairs per row (pair A lanes 0-63, pair B lanes 64-127,
+full 128-lane vregs) compiles and is exact but measured 0.71x — the
+per-step concat of the two diagonal buffers and doubled masks cost
+more than the halved step count saves.  Revisit when Mosaic's loop
 handling improves; the op count per step is already near-minimal
 (3 lane-rolls + ~10 elementwise).
 """
