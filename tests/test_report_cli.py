@@ -108,3 +108,17 @@ def test_cli_end_to_end(tmp_path):
         recs = {int(x["line_no"]): x for x in csv.DictReader(f)}
     assert int(recs[3]["matches"]) >= 1
     assert recs[3]["speaker"] != ""
+
+
+def test_parquet_round_trip(tmp_path):
+    import pandas as pd
+
+    from fandom_search_tpu.search.report import write_matches_parquet
+
+    rows = [_row("w1", 0), _row("w2", 1, start=10)]
+    p = tmp_path / "m.parquet"
+    write_matches_parquet(rows, p)
+    df = pd.read_parquet(p)
+    assert len(df) == len(rows)
+    assert df["work_id"].tolist() == [r.work_id for r in rows]
+    assert df["verify_score"].tolist() == [r.verify_score for r in rows]
