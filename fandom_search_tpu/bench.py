@@ -86,16 +86,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    cache = Path(__file__).resolve().parent.parent / ".jax_cache"
-    try:
-        cache.mkdir(exist_ok=True)
-    except OSError:  # installed read-only
-        import tempfile
+    from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
 
-        cache = Path(tempfile.gettempdir()) / "fandom_search_tpu_jax_cache"
-        cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    enable_persistent_cache(Path(__file__).resolve().parent.parent / ".jax_cache")
 
     import jax.numpy as jnp
 
@@ -324,11 +317,19 @@ def main(argv=None) -> int:
 
         eng = SearchEngine(index, cfg, use_pallas=use_pallas,
                            interpret=interpret)
-        # warm with enough works to hit the steady verify bucket (2048)
-        eng.search_works(dict(list(works.items())[:200]))
-        t0 = time.perf_counter()
-        rows, stats = eng.search_works(works)
-        e2e_dt = time.perf_counter() - t0
+        # Warm with one FULL pass: compiles every stream bucket the
+        # timed run will use (full-cap batches + the final partial
+        # bucket) and settles the sticky budgets.  Then time best-of-N
+        # full passes — the host<->device tunnel here has multi-second
+        # throughput phases, and a single-shot reading can be ~2x off.
+        eng.search_works(works)
+        e2e_reps = int(os.environ.get("BENCH_E2E_REPS", 3))
+        e2e_runs = []
+        for _ in range(e2e_reps):
+            t0 = time.perf_counter()
+            rows, stats = eng.search_works(works)
+            e2e_runs.append(time.perf_counter() - t0)
+        e2e_dt = min(e2e_runs)
         log(f"end-to-end: {n_works} works ({stats.num_query_shingles} "
             f"shingles) vs {index.num_shingles}-shingle script in "
             f"{e2e_dt:.2f}s, {len(rows)} match rows")
@@ -368,6 +369,7 @@ def main(argv=None) -> int:
         details.update({
             "e2e_works": n_works,
             "e2e_seconds": e2e_dt,
+            "e2e_seconds_runs": e2e_runs,
             "e2e_query_shingles": stats.num_query_shingles,
             "e2e_matches": len(rows),
             "e2e_pairs_per_sec": stats.shingle_pairs / e2e_dt,

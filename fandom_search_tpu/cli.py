@@ -190,6 +190,9 @@ def cmd_index(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from fandom_search_tpu.data.script_parser import parse_script
     from fandom_search_tpu.search.index import build_script_index
     from fandom_search_tpu.search.persist import save_index
@@ -208,6 +211,11 @@ def cmd_search(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # Amortize per-bucket jit compiles across CLI invocations (the
+    # remote-compile tunnel makes cold compiles expensive).
+    from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from fandom_search_tpu.data.script_parser import parse_script
     from fandom_search_tpu.scrape.clean import load_works_dir

@@ -65,7 +65,12 @@ class SearchConfig:
     # the matched shingle's position (search/common.py line_segment)
     max_line_tokens: int = 64
     chain_gap: int = 12              # max token gap when chaining hits
-    batch_queries: int = 1 << 18     # query shingles per device call
+    # query shingles per device call (upper bound — the engine buckets
+    # small batches to pow2 sizes, so short corpora never upload the
+    # full cap).  Large cap = few uploads: the host<->device link pays
+    # a fixed ~30ms round-trip per batch, so at 10k works 2^20 measured
+    # ~1.4x faster end-to-end than 2^18 (20 batches vs 78).
+    batch_queries: int = 1 << 20
     script_pad_multiple: int = 2048  # script shingles padded to multiple
     # device->host candidate budget per batch: candidates are threshold-
     # compacted ON DEVICE (jnp.nonzero with static size) so only hits

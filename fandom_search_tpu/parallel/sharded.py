@@ -130,6 +130,11 @@ class ShardedSearchEngine(SearchEngine):
                 f"batch_queries ({xcfg.batch_queries}) must be divisible by "
                 f"works_shards*256 ({works * 256})"
             )
+        # Stream buckets (engine._batches) are granule * pow2, so a
+        # granule that is a multiple of works*256 keeps every bucket's
+        # query-row count works-shardable.
+        unit = works * 256
+        self._batch_granule = unit * max(1, self._batch_granule // unit)
 
         # Re-pad the script matrix so each script shard is tile-aligned.
         ns = index.num_shingles

@@ -14,6 +14,8 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Dict, List, Sequence, Tuple
 
+import numpy as np
+
 from fandom_search_tpu.config import SearchConfig, ShingleConfig
 from fandom_search_tpu.data.tokenizer import Tokenized
 from fandom_search_tpu.search.index import ScriptIndex
@@ -58,6 +60,55 @@ def chain_hits(
             _emit(work_id, start, prev, best_score, best_verify, count,
                   tk, index, line_no, shingle_cfg)
         )
+    rows.sort(key=lambda r: (r.work_id, r.fan_token_start, r.line_no))
+    return rows
+
+
+def chain_hits_arrays(
+    work_idx: np.ndarray,      # int64 [H] — index into work_ids
+    fan_pos: np.ndarray,       # int64 [H]
+    line_no: np.ndarray,       # int64 [H]
+    score: np.ndarray,         # f32 [H]
+    verify: np.ndarray,        # f32 [H]
+    work_ids: Sequence[str],
+    fan_tokenized: Dict[str, Tokenized],
+    index: ScriptIndex,
+    shingle_cfg: ShingleConfig,
+    search_cfg: SearchConfig,
+) -> List[MatchRow]:
+    """Vectorized chain_hits over hit ARRAYS (the engine's hot path).
+
+    Semantics identical to chain_hits on the equivalent CandidateHit
+    list: group by (work, line), sort by fan_pos, merge runs whose
+    consecutive gaps are <= chain_gap, emit one row per run with the
+    run's max score / max verify / hit count.  (work, fan_pos, line)
+    triples must be unique — the engine dedups before chaining.  The
+    per-hit Python loop this replaces measured ~1s per 250k hits at the
+    10k-works benchmark; reduceat makes it ~milliseconds.
+    """
+    if len(work_idx) == 0:
+        return []
+    order = np.lexsort((fan_pos, line_no, work_idx))
+    wx, fp, ln = work_idx[order], fan_pos[order], line_no[order]
+    sc, vs = score[order], verify[order]
+    new = np.ones(len(wx), dtype=bool)
+    new[1:] = (
+        (wx[1:] != wx[:-1])
+        | (ln[1:] != ln[:-1])
+        | ((fp[1:] - fp[:-1]) > search_cfg.chain_gap)
+    )
+    seg = np.nonzero(new)[0]
+    seg_end = np.r_[seg[1:], len(wx)]
+    best_sc = np.maximum.reduceat(sc, seg)
+    best_vs = np.maximum.reduceat(vs, seg)
+    rows = [
+        _emit(
+            work_ids[wx[s]], int(fp[s]), int(fp[e - 1]),
+            float(best_sc[j]), float(best_vs[j]), int(e - s),
+            fan_tokenized[work_ids[wx[s]]], index, int(ln[s]), shingle_cfg,
+        )
+        for j, (s, e) in enumerate(zip(seg, seg_end))
+    ]
     rows.sort(key=lambda r: (r.work_id, r.fan_token_start, r.line_no))
     return rows
 

@@ -37,10 +37,10 @@ from fandom_search_tpu.data.tokenizer import Tokenized
 from fandom_search_tpu.data.fast_tokenizer import tokenize_many
 from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_pallas
 from fandom_search_tpu.ops.smith_waterman import sw_normalized_jnp, sw_normalized_pallas
-from fandom_search_tpu.search.chain import chain_hits
+from fandom_search_tpu.search.chain import chain_hits_arrays
 from fandom_search_tpu.search.common import line_segment
 from fandom_search_tpu.search.index import ScriptIndex
-from fandom_search_tpu.search.types import CandidateHit, MatchRow
+from fandom_search_tpu.search.types import MatchRow
 
 log = logging.getLogger(__name__)
 
@@ -68,6 +68,84 @@ def _next_pow2(n: int, floor: int) -> int:
     while v < n:
         v *= 2
     return v
+
+
+class _HitAccumulator:
+    """Verified hits as struct-of-arrays, accumulated across batches.
+
+    Work ids intern to integers once per SPAN (~1k strings/batch);
+    every per-hit quantity stays a numpy array end-to-end.  The
+    per-hit Python objects this replaces cost ~2s per 250k hits at
+    the 10k-works benchmark.
+    """
+
+    def __init__(self):
+        self.work_ids: List[str] = []
+        self._map: Dict[str, int] = {}
+        self._parts: List[Tuple[np.ndarray, ...]] = []
+
+    def span_tables(self, spans):
+        """(work_idx, fold_offset, is_split) per span; interns work ids.
+
+        Split-chunk span ids ("wid\\x00offset") fold back to the work
+        here, so downstream arrays never see chunk ids.
+        """
+        m = len(spans)
+        widx = np.empty(m, np.int64)
+        fold = np.zeros(m, np.int64)
+        split = np.zeros(m, bool)
+        for j, (wid, _, _) in enumerate(spans):
+            if "\x00" in wid:
+                wid, off = wid.split("\x00")
+                fold[j] = int(off)
+                split[j] = True
+            ix = self._map.get(wid)
+            if ix is None:
+                ix = len(self.work_ids)
+                self._map[wid] = ix
+                self.work_ids.append(wid)
+            widx[j] = ix
+        return widx, fold, split
+
+    def add(self, widx, fpos, line, score, vscore, split):
+        self._parts.append((widx, fpos, line, score, vscore, split))
+
+    def finalize(self):
+        """Concatenate, dedup split-chunk duplicates, return arrays.
+
+        Only hits from split works can repeat (overlapping chunks
+        verify the same shingle twice; on-device dedup already made
+        (qpos, line) unique within a batch and whole works never span
+        batches).  Dedup keeps the max verify score, first arrival on
+        ties — same rule as the oracle.
+        """
+        if not self._parts:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z.astype(np.float32), z.astype(np.float32)
+        widx, fpos, line, sc, vs, split = (
+            np.concatenate([p[i] for p in self._parts])
+            for i in range(6)
+        )
+        if split.any():
+            keep_plain = np.logical_not(split)
+            sw, sf, sl = widx[split], fpos[split], line[split]
+            ss, sv = sc[split], vs[split]
+            arrival = np.arange(len(sw))
+            order = np.lexsort((arrival, -sv, sl, sf, sw))
+            sw, sf, sl, ss, sv = (
+                sw[order], sf[order], sl[order], ss[order], sv[order]
+            )
+            first = np.ones(len(sw), bool)
+            first[1:] = (
+                (sw[1:] != sw[:-1]) | (sf[1:] != sf[:-1])
+                | (sl[1:] != sl[:-1])
+            )
+            widx = np.concatenate([widx[keep_plain], sw[first]])
+            fpos = np.concatenate([fpos[keep_plain], sf[first]])
+            line = np.concatenate([line[keep_plain], sl[first]])
+            sc = np.concatenate([sc[keep_plain], ss[first]])
+            vs = np.concatenate([vs[keep_plain], sv[first]])
+        return widx, fpos, line, sc, vs
 
 
 class SearchEngine:
@@ -99,6 +177,10 @@ class SearchEngine:
         if stream.shape[0] == 0:
             stream = np.zeros((1,), dtype=np.uint32)
         self._script_stream = jax.device_put(jnp.asarray(stream))
+
+        # Minimum stream-bucket size (see _batches); subclasses raise it
+        # to their shard-alignment requirement.
+        self._batch_granule = 1 << 14
 
         # Candidate budget grows (pow2) whenever a batch overflows, so
         # no candidate is ever dropped; the budget is sticky across
@@ -161,7 +243,22 @@ class SearchEngine:
         """
         cap = self.cfg.search.batch_queries
         n = self.cfg.shingle.n
-        t_pad = cap + n - 1
+        # Stream length is bucketed (granule * pow2, clamped to cap) so
+        # a short corpus or the run's final partial batch uploads a
+        # small buffer instead of the full cap.  Each bucket is one jit
+        # shape; the granule*pow2 ladder bounds the variant count at
+        # log2(cap/granule)+1.  Bucket sizes stay multiples of the
+        # granule, which the sharded engine raises to its works-axis
+        # alignment requirement.
+        g = min(self._batch_granule, cap)
+
+        def t_pad_for(tokens: int) -> int:
+            b = g
+            while b < min(tokens, cap):
+                b *= 2
+            return min(b, cap) + n - 1
+
+        t_pad = t_pad_for
 
         cur: List[Tuple[str, Tokenized, int]] = []
         cur_len = 0
@@ -211,8 +308,9 @@ class SearchEngine:
             yield from self._flush(cur, t_pad)
 
     @staticmethod
-    def _flush(items, t_pad):
-        stream = np.zeros((t_pad,), dtype=np.uint32)
+    def _flush(items, t_pad_for):
+        tokens = sum(len(tk) for _, tk, _ in items)
+        stream = np.zeros((t_pad_for(tokens),), dtype=np.uint32)
         spans = []
         off = 0
         fresh_total = 0
@@ -255,7 +353,7 @@ class SearchEngine:
         # host processes the previous batch (jax dispatch is async;
         # the device executes in order).  One batch of lookahead keeps
         # at most two streams + outputs in flight.
-        all_hits: List[CandidateHit] = []
+        acc = _HitAccumulator()
         pending: List[Tuple] = []
         # one batch of lookahead: deeper queues measured SLOWER on the
         # axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
@@ -266,7 +364,7 @@ class SearchEngine:
             if self._use_fused:
                 pending.append(self._submit_fused(stream, spans, stats))
                 if len(pending) > lookahead:
-                    all_hits.extend(self._process_fused(*pending.pop(0), stats))
+                    self._process_fused(*pending.pop(0), stats, acc)
                 continue
             t0 = time.perf_counter()
             stream_dev = jnp.asarray(stream)
@@ -277,32 +375,19 @@ class SearchEngine:
             stats.seconds_device_topk += time.perf_counter() - t0
             pending.append((stream_dev, spans, self._cand_budget, out))
             if len(pending) == 2:
-                all_hits.extend(self._process_batch(*pending.pop(0), stats))
+                self._process_batch(*pending.pop(0), stats, acc)
         while pending:
             if self._use_fused:
-                all_hits.extend(self._process_fused(*pending.pop(0), stats))
+                self._process_fused(*pending.pop(0), stats, acc)
             else:
-                all_hits.extend(self._process_batch(*pending.pop(0), stats))
+                self._process_batch(*pending.pop(0), stats, acc)
 
         t0 = time.perf_counter()
-        # Split-work chunk ids ("wid\x00offset") fold back to the work.
-        folded: List[CandidateHit] = []
-        for h in all_hits:
-            if "\x00" in h.work_id:
-                wid, off = h.work_id.split("\x00")
-                folded.append(
-                    CandidateHit(wid, h.fan_pos + int(off), h.line_no,
-                                 h.score, h.verify_score)
-                )
-            else:
-                folded.append(h)
-        # Dedup (overlapping chunks can verify the same hit twice).
-        uniq: Dict[Tuple[str, int, int], CandidateHit] = {}
-        for h in folded:
-            key = (h.work_id, h.fan_pos, h.line_no)
-            if key not in uniq or h.verify_score > uniq[key].verify_score:
-                uniq[key] = h
-        rows = chain_hits(list(uniq.values()), tokenized, self.index, scfg, xcfg)
+        widx, fpos, line, sc, vs = acc.finalize()
+        rows = chain_hits_arrays(
+            widx, fpos, line, sc, vs, acc.work_ids, tokenized,
+            self.index, scfg, xcfg,
+        )
         stats.seconds_host += time.perf_counter() - t0
         return rows, stats
 
@@ -387,8 +472,8 @@ class SearchEngine:
 
     def _process_fused(
         self, ext_dev, spans, nspans, cand_budget, verify_budget, out,
-        stats: EngineStats,
-    ) -> List[CandidateHit]:
+        stats: EngineStats, acc: _HitAccumulator,
+    ) -> None:
         scfg = self.cfg.shingle
         t0 = time.perf_counter()
         while True:
@@ -419,8 +504,6 @@ class SearchEngine:
         stats.num_verified += ver_count
 
         starts = np.array([off for _, off, _ in spans], dtype=np.int64)
-        lens = np.array([m for _, _, m in spans], dtype=np.int64)
-        wids = [w for w, _, _ in spans]
         # (num_query_shingles counted at batch creation, overlap-exact)
 
         qpos = host[0, :ver_count].astype(np.int64)
@@ -429,15 +512,12 @@ class SearchEngine:
         vscore = host[3, :ver_count]
         span_of = np.searchsorted(starts, qpos, side="right") - 1
         local = qpos - starts[span_of]
-        hits = [
-            CandidateHit(
-                wids[span_of[i]], int(local[i]), int(line[i]),
-                float(score[i]), float(vscore[i]),
-            )
-            for i in range(ver_count)
-        ]
+        span_widx, span_fold, span_split = acc.span_tables(spans)
+        acc.add(
+            span_widx[span_of], local + span_fold[span_of], line,
+            score, vscore, span_split[span_of],
+        )
         stats.seconds_host += time.perf_counter() - t0
-        return hits
 
     # -- two-stage batch path (sharded engine, LSH prefilter) ---------------
 
@@ -448,7 +528,8 @@ class SearchEngine:
         budget: int,
         out: Tuple,
         stats: EngineStats,
-    ) -> List[CandidateHit]:
+        acc: _HitAccumulator,
+    ) -> None:
         scfg, xcfg = self.cfg.shingle, self.cfg.search
 
         t0 = time.perf_counter()
@@ -485,12 +566,11 @@ class SearchEngine:
 
         starts = np.array([off for _, off, _ in spans], dtype=np.int64)
         lens = np.array([m for _, _, m in spans], dtype=np.int64)
-        wids = [w for w, _, _ in spans]
         # (num_query_shingles counted at batch creation, overlap-exact)
 
         if n_kept == 0:
             stats.seconds_host += time.perf_counter() - t0
-            return []
+            return
         # Valid query positions: inside one work's token range. Fully
         # vectorized dedup of (work, fan_pos, line) keeping the max score.
         span_of = np.searchsorted(starts, qpos, side="right") - 1
@@ -498,7 +578,7 @@ class SearchEngine:
         qpos, sidx, score, span_of = qpos[ok], sidx[ok], score[ok], span_of[ok]
         if len(qpos) == 0:
             stats.seconds_host += time.perf_counter() - t0
-            return []
+            return
 
         local_pos = (qpos - starts[span_of]).astype(np.int64)
         line = self.index.shingle_line[sidx].astype(np.int64)
@@ -562,17 +642,15 @@ class SearchEngine:
         stats.seconds_device_verify += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        keep = np.nonzero(scores >= xcfg.verify_threshold)[0]
-        hits = [
-            CandidateHit(
-                wids[sp_u[i]], int(pos_u[i]), int(ln_u[i]),
-                float(sc_u[i]), float(scores[i]),
-            )
-            for i in keep
-        ]
-        stats.num_verified += len(hits)
+        keep = scores >= xcfg.verify_threshold
+        span_widx, span_fold, span_split = acc.span_tables(spans)
+        sp_k = sp_u[keep]
+        acc.add(
+            span_widx[sp_k], pos_u[keep] + span_fold[sp_k],
+            ln_u[keep], sc_u[keep], scores[keep], span_split[sp_k],
+        )
+        stats.num_verified += int(keep.sum())
         stats.seconds_host += time.perf_counter() - t0
-        return hits
 
 
 # ---------------------------------------------------------------------------
@@ -590,18 +668,29 @@ def compact_candidates(vals, idx, threshold, ns, k: int, max_out: int):
     candidate is ever dropped.
     """
     ok = jnp.logical_and(vals >= threshold, idx < ns)     # [NQ, k]
-    flat = ok.ravel()
-    (pos,) = jnp.nonzero(flat, size=max_out, fill_value=-1)
+    count = jnp.sum(ok.astype(jnp.int32))
+    # Two-level compaction: a flat nonzero over all NQ*k slots costs
+    # ~100ms/batch at NQ=2^20 on v5e; compacting ROWS first (rows with
+    # any hit <= true candidate count <= max_out, else the caller
+    # retries anyway) shrinks the expensive scan by k and the second
+    # scan to max_out*k elements.  Ordering is preserved: rows ascend,
+    # then top-k rank ascends within a row — exactly the flat order.
+    row_any = jnp.any(ok, axis=1)                          # [NQ]
+    row_budget = min(max_out, ok.shape[0])
+    (rows,) = jnp.nonzero(row_any, size=row_budget, fill_value=-1)
+    rsafe = jnp.maximum(rows, 0)
+    ok_r = jnp.logical_and(ok[rsafe], (rows >= 0)[:, None])  # [RB, k]
+    (pos,) = jnp.nonzero(ok_r.ravel(), size=max_out, fill_value=-1)
     safe = jnp.maximum(pos, 0)
-    qpos = (safe // k).astype(jnp.int32)
-    score = vals.ravel()[safe]
-    sidx = idx.ravel()[safe]
+    qpos = rsafe[safe // k].astype(jnp.int32)
+    score = vals[rsafe].ravel()[safe]
+    sidx = idx[rsafe].ravel()[safe]
     valid = pos >= 0
     return (
         jnp.where(valid, qpos, -1),
         jnp.where(valid, sidx, 0),
         score,
-        jnp.sum(flat.astype(jnp.int32)),
+        count,
     )
 
 
