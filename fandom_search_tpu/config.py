@@ -22,8 +22,9 @@ class ShingleConfig:
     "Shingler + hash vectorizer"; BASELINE.json:5 "n-gram shingles ...
     hashed into dense vectors").  The TPU-native upgrade: each
     (position, word) pair is expanded into a pseudo-random +-1 vector of
-    ``dim`` lanes (derived from a 32-bit hash, reproducible on host and
-    device), and the shingle embedding is their sum.  Then
+    ``dim`` lanes (multiply-shift sign bits of the 32-bit word hash,
+    bit-reproducible on host and device), and the shingle embedding is
+    their sum.  Then
 
         dot(e_q, e_s) / dim  ~=  #positions where the two shingles agree
 
@@ -34,13 +35,11 @@ class ShingleConfig:
     n: int = 6              # words per shingle (reference: 6)
     dim: int = 128          # embedding lanes; 128 = one TPU lane tile
     seed: int = 0x5EED      # salt for all hashing; shared host/device
-    sign_rounds: int = 4    # dim/32 rounds of 32 sign bits each
 
     def __post_init__(self) -> None:
-        if self.dim != 32 * self.sign_rounds:
+        if self.dim < 1 or self.dim % 32 != 0:
             raise ValueError(
-                f"dim ({self.dim}) must equal 32 * sign_rounds "
-                f"({32 * self.sign_rounds})"
+                f"dim ({self.dim}) must be a positive multiple of 32"
             )
         if self.n < 1:
             raise ValueError("shingle width must be >= 1")

@@ -3,7 +3,7 @@ from fandom_search_tpu.data.hashing import (  # noqa: F401
     fmix32,
     hash_word,
     hash_words,
-    derive_salts,
+    derive_sign_mults,
 )
 from fandom_search_tpu.data.shingler import (  # noqa: F401
     shingle_hashes,

@@ -419,10 +419,10 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
     )
 
     @functools.partial(jax.jit, static_argnames=("max_out",))
-    def candidates(stream, s_emb, ns_valid, salts, *, max_out):
+    def candidates(stream, s_emb, ns_valid, mults, *, max_out):
         from fandom_search_tpu.search.engine import compact_candidates
 
-        q_emb = embed_shingles(stream, scfg, salts=salts)
+        q_emb = embed_shingles(stream, scfg, mults=mults)
         vals, idx = lsh_topk(
             q_emb, lsh, s_emb, xcfg.k, scfg.dim, cfg, interpret=interpret,
             min_keep_sim=keep_sim,
@@ -432,12 +432,12 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
             xcfg.k, max_out,
         )
 
-    # keep the engine call signature (stream, s_emb, ns_valid, salts);
+    # keep the engine call signature (stream, s_emb, ns_valid, mults);
     # the prefilter replaces the candidate stage, so the engine drops
     # back to the two-stage batch flow
     engine._use_fused = False
     engine._candidates_fn = (
-        lambda stream, s_emb, ns_valid, salts, max_out: candidates(
-            stream, s_emb_padded, ns_valid, salts, max_out=max_out
+        lambda stream, s_emb, ns_valid, mults, max_out: candidates(
+            stream, s_emb_padded, ns_valid, mults, max_out=max_out
         )
     )

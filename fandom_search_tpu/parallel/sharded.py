@@ -153,8 +153,8 @@ class ShardedSearchEngine(SearchEngine):
         ns_true = index.num_shingles
 
         @functools.partial(jax.jit, static_argnames=("max_out",))
-        def candidates(stream, s_emb, ns_valid_shards, salts, *, max_out):
-            q_emb = embed_shingles(stream, scfg, salts=salts)
+        def candidates(stream, s_emb, ns_valid_shards, mults, *, max_out):
+            q_emb = embed_shingles(stream, scfg, mults=mults)
             vals, idx = sharded_topk(
                 mesh_, q_emb, s_emb, ns_valid_shards,
                 xcfg.k, scfg.dim, use_pallas=up, interpret=ip,
@@ -167,8 +167,8 @@ class ShardedSearchEngine(SearchEngine):
 
         # Adapt to the base-class call signature (s_emb/ns_valid ignored
         # in favor of the sharded copies).
-        self._candidates_fn = lambda stream, _s, _n, salts, max_out: candidates(
-            stream, self._s_emb_sharded, self._ns_valid_shards, salts,
+        self._candidates_fn = lambda stream, _s, _n, mults, max_out: candidates(
+            stream, self._s_emb_sharded, self._ns_valid_shards, mults,
             max_out=max_out,
         )
 
@@ -230,7 +230,7 @@ class ShardedSearchEngine(SearchEngine):
             stream = stream_ext[:t_pad]
             sp_start = stream_ext[t_pad : t_pad + nspans].astype(jnp.int32)
             sp_len = stream_ext[t_pad + nspans :].astype(jnp.int32)
-            q_emb = embed_shingles(stream, scfg, salts=eng_self._salts)
+            q_emb = embed_shingles(stream, scfg, mults=eng_self._mults)
             vals, idx = sharded_topk(
                 mesh_, q_emb, eng_self._s_emb_sharded,
                 eng_self._ns_valid_shards, xcfg.k, scfg.dim,

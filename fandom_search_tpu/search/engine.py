@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fandom_search_tpu.config import PipelineConfig
-from fandom_search_tpu.data.hashing import derive_salts
+from fandom_search_tpu.data.hashing import derive_sign_mults
 from fandom_search_tpu.data.shingler import embed_shingles
 from fandom_search_tpu.ops.embed import embed_shingles_pallas
 from fandom_search_tpu.data.tokenizer import Tokenized
@@ -165,7 +165,9 @@ class SearchEngine:
         self.interpret = interpret
         scfg, xcfg = cfg.shingle, cfg.search
 
-        self._salts = jnp.asarray(derive_salts(scfg.seed, scfg.n, scfg.sign_rounds))
+        self._mults = jnp.asarray(
+            derive_sign_mults(scfg.seed, scfg.n, scfg.dim)
+        )
         s_emb = jnp.asarray(index.embeddings)
         self._s_emb_padded, self._ns_valid = pad_rows(
             s_emb, xcfg.script_pad_multiple
@@ -369,7 +371,7 @@ class SearchEngine:
             t0 = time.perf_counter()
             stream_dev = jnp.asarray(stream)
             out = self._candidates_fn(
-                stream_dev, self._s_emb_padded, self._ns_valid, self._salts,
+                stream_dev, self._s_emb_padded, self._ns_valid, self._mults,
                 max_out=self._cand_budget,
             )
             stats.seconds_device_topk += time.perf_counter() - t0
@@ -429,7 +431,7 @@ class SearchEngine:
 
     def _fused_args(self):
         return (
-            self._s_emb_padded, self._ns_valid, self._salts,
+            self._s_emb_padded, self._ns_valid, self._mults,
             self._script_stream, self._shingle_line_d,
             self._shingle_anchor_d, self._line_start_d, self._line_len_d,
         )
@@ -549,7 +551,7 @@ class SearchEngine:
             )
             self._cand_budget = max(self._cand_budget, budget)
             qpos_d, sidx_d, score_d, count_d = self._candidates_fn(
-                stream_dev, self._s_emb_padded, self._ns_valid, self._salts,
+                stream_dev, self._s_emb_padded, self._ns_valid, self._mults,
                 max_out=budget,
             )
         n_kept = count
@@ -694,7 +696,7 @@ def compact_candidates(vals, idx, threshold, ns, k: int, max_out: int):
     )
 
 
-def _candidate_stage(stream, s_emb_padded, ns_valid, salts, *, k, dim,
+def _candidate_stage(stream, s_emb_padded, ns_valid, mults, *, k, dim,
                      shingle_cfg, use_pallas, interpret, threshold):
     """Embed the stream and produce thresholded top-k (vals, idx).
 
@@ -705,7 +707,7 @@ def _candidate_stage(stream, s_emb_padded, ns_valid, salts, *, k, dim,
         # compaction threshold so sub-threshold rows skip the top-k
         # merge entirely (the engine never reads them)
         q_emb = embed_shingles_pallas(
-            stream, shingle_cfg, salts=salts, interpret=interpret
+            stream, shingle_cfg, mults=mults, interpret=interpret
         )
         qp, _ = pad_rows(q_emb, 128)
         vals, idx = topk_dot_pallas(
@@ -714,7 +716,7 @@ def _candidate_stage(stream, s_emb_padded, ns_valid, salts, *, k, dim,
         )
         return vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
     # jnp path: mask padded script rows via a validity column
-    q_emb = embed_shingles(stream, shingle_cfg, salts=salts)
+    q_emb = embed_shingles(stream, shingle_cfg, mults=mults)
     scores = jax.lax.dot_general(
         q_emb.astype(jnp.bfloat16),
         s_emb_padded.astype(jnp.bfloat16),
@@ -734,10 +736,10 @@ def _candidate_stage(stream, s_emb_padded, ns_valid, salts, *, k, dim,
         "threshold", "max_out",
     ),
 )
-def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
+def _candidates_jit(stream, s_emb_padded, ns_valid, mults, *, k, dim,
                     shingle_cfg, use_pallas, interpret, threshold, max_out):
     vals, idx = _candidate_stage(
-        stream, s_emb_padded, ns_valid, salts, k=k, dim=dim,
+        stream, s_emb_padded, ns_valid, mults, k=k, dim=dim,
         shingle_cfg=shingle_cfg, use_pallas=use_pallas,
         interpret=interpret, threshold=threshold,
     )
@@ -753,7 +755,7 @@ def _candidates_jit(stream, s_emb_padded, ns_valid, salts, *, k, dim,
 )
 def _fused_jit(
     stream_ext,      # uint32 [T_pad + 2*nspans]: stream | starts | lens
-    s_emb_padded, ns_valid, salts,
+    s_emb_padded, ns_valid, mults,
     script_stream, shingle_line, shingle_anchor, line_start, line_len,
     *, k, dim, shingle_cfg, search_cfg, use_pallas, interpret,
     cand_budget, verify_budget, nspans,
@@ -777,7 +779,7 @@ def _fused_jit(
     # ---- candidates (embed -> fused top-k -> threshold compact) ------
     threshold = search_cfg.candidate_threshold
     vals, idx = _candidate_stage(
-        stream, s_emb_padded, ns_valid, salts, k=k, dim=dim,
+        stream, s_emb_padded, ns_valid, mults, k=k, dim=dim,
         shingle_cfg=shingle_cfg, use_pallas=use_pallas,
         interpret=interpret, threshold=threshold,
     )

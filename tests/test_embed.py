@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from fandom_search_tpu.config import ShingleConfig
-from fandom_search_tpu.data.hashing import derive_salts
+from fandom_search_tpu.data.hashing import derive_sign_mults
 from fandom_search_tpu.data.shingler import embed_shingles, embed_shingles_np
 from fandom_search_tpu.ops.embed import embed_shingles_pallas
 
@@ -22,9 +22,9 @@ def test_pallas_embed_matches_oracle(rng, t_len):
 
 def test_pallas_embed_matches_jnp(rng):
     t = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
-    salts = derive_salts(CFG.seed, CFG.n, CFG.sign_rounds)
-    a = np.asarray(embed_shingles(t, CFG, salts=salts))
-    b = np.asarray(embed_shingles_pallas(t, CFG, salts=salts, interpret=True))
+    mults = derive_sign_mults(CFG.seed, CFG.n, CFG.dim)
+    a = np.asarray(embed_shingles(t, CFG, mults=mults))
+    b = np.asarray(embed_shingles_pallas(t, CFG, mults=mults, interpret=True))
     np.testing.assert_array_equal(a, b)
 
 

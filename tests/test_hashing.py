@@ -1,6 +1,11 @@
 import numpy as np
 
-from fandom_search_tpu.data.hashing import derive_salts, fmix32, hash_word, hash_words
+from fandom_search_tpu.data.hashing import (
+    derive_sign_mults,
+    fmix32,
+    hash_word,
+    hash_words,
+)
 
 
 def test_hash_word_deterministic():
@@ -36,11 +41,12 @@ def test_fmix32_avalanche():
     assert np.all(np.abs(bits - 0.5) < 0.05)
 
 
-def test_derive_salts_shape_and_determinism():
-    s1 = derive_salts(123, 6, 4)
-    s2 = derive_salts(123, 6, 4)
-    s3 = derive_salts(124, 6, 4)
-    assert s1.shape == (6, 4) and s1.dtype == np.uint32
+def test_derive_sign_mults_shape_and_determinism():
+    s1 = derive_sign_mults(123, 6, 128)
+    s2 = derive_sign_mults(123, 6, 128)
+    s3 = derive_sign_mults(124, 6, 128)
+    assert s1.shape == (6, 128) and s1.dtype == np.uint32
     assert np.array_equal(s1, s2)
     assert not np.array_equal(s1, s3)
-    assert len(np.unique(s1)) == 24  # all salts distinct
+    assert np.all(s1 % 2 == 1)  # odd -> multiply mod 2^32 is a bijection
+    assert len(np.unique(s1)) == 6 * 128  # all constants distinct
