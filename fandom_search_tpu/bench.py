@@ -48,17 +48,23 @@ def _sync(jnp, out):
     return np.asarray(jnp.sum(s.astype(jnp.float32)))
 
 
-def _time(jnp, fn, iters=10):
+def _time(jnp, fn, iters=10, rounds=3):
     # NOTE: on the axon remote platform block_until_ready does not wait
     # for remote completion; sync by reducing to a scalar ON DEVICE and
-    # transferring those 4 bytes.
+    # transferring those 4 bytes.  Best-of-rounds because the tunnel's
+    # device throughput itself has multi-second phases (measured >10x
+    # between phases on identical kernels); a single round can land
+    # entirely inside a slow phase.
     _sync(jnp, fn())  # compile + warm
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fn()
-    _sync(jnp, out)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        _sync(jnp, out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _recall_by_score(want_vals, got_vals, dim, k):
@@ -130,16 +136,21 @@ def main(argv=None) -> int:
     details = {"device": str(jax.devices()[0]), "nq": nq, "ns": ns}
 
     # ---- config #2: fused distance+top-k kernel -------------------------
+    # Engine mode = the layout the engine actually runs: lane-major q
+    # (q_transposed), which the lane-major embed kernel emits with no
+    # relayout; measured faster than the row-major contraction too.
+    q_dev_t = jnp.asarray(np.ascontiguousarray(q_emb.T))
+
     def run_kernel(min_keep):
         return topk_dot_pallas(
-            q_dev, s_pad, ns_valid, k, dim,
-            interpret=interpret, min_keep=min_keep,
+            q_dev_t, s_pad, ns_valid, k, dim,
+            interpret=interpret, min_keep=min_keep, q_transposed=True,
         )
 
     dt_engine = _time(jnp, lambda: run_kernel(thr))
     rate_engine = nq * ns / dt_engine
-    log(f"kernel (engine mode, min_keep={thr}): {dt_engine*1e3:.1f} ms "
-        f"-> {rate_engine/1e9:.2f} G pairs/s")
+    log(f"kernel (engine mode, min_keep={thr}, lane-major q): "
+        f"{dt_engine*1e3:.1f} ms -> {rate_engine/1e9:.2f} G pairs/s")
     details["kernel_engine_pairs_per_sec"] = rate_engine
 
     if quick:

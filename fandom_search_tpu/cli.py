@@ -43,7 +43,10 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chain-gap", type=int, default=None,
                    help="max token gap when chaining hits (default 12)")
     p.add_argument("--batch-queries", type=int, default=None,
-                   help="query shingles per device call (default 262144)")
+                   help="query shingles per device call (default 1048576)")
+    p.add_argument("--lookahead-batches", type=int, default=None,
+                   help="batches in flight ahead of result consumption "
+                        "(default 1)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the jnp fallback instead of Pallas kernels")
     p.add_argument("--interpret", action="store_true",
@@ -90,6 +93,7 @@ def _runtime_overrides(args) -> dict:
         ("verify_threshold", "verify_threshold"),
         ("chain_gap", "chain_gap"),
         ("batch_queries", "batch_queries"),
+        ("lookahead_batches", "lookahead_batches"),
     ):
         v = getattr(args, attr)
         if v is not None:

@@ -75,6 +75,11 @@ class SearchConfig:
     # compacted ON DEVICE (jnp.nonzero with static size) so only hits
     # cross the PCIe/host boundary, not the full [NQ, k] top-k tables
     max_candidates_per_batch: int = 1 << 16
+    # batches submitted to the device ahead of result consumption;
+    # 1 = double-buffering.  Deeper queues measured SLOWER on a
+    # high-latency tunnel (queued uploads serialize), but may help on
+    # directly-attached hosts.
+    lookahead_batches: int = 1
     # Smith-Waterman scoring (word-level local alignment)
     sw_match: float = 2.0
     sw_mismatch: float = -1.0

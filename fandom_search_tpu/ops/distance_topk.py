@@ -84,7 +84,7 @@ _PACK_SENTINEL = -(1 << 30)  # below any real packed value
 
 def _topk_kernel(
     ns_valid_ref,  # SMEM (1,) int32 — true NS before padding
-    q_ref,         # VMEM [TQ, D] int8
+    q_ref,         # VMEM [TQ, D] int8 (or [D, TQ] when q_transposed)
     s_ref,         # VMEM [TS, D] int8
     vals_ref,      # VMEM [TQ, K] f32 out
     idx_ref,       # VMEM [TQ, K] i32 out
@@ -95,6 +95,7 @@ def _topk_kernel(
     inv_dim: float,
     compute: str,
     min_keep: float,
+    q_transposed: bool,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -105,19 +106,24 @@ def _topk_kernel(
 
     # [TQ, TS] tile of the score matrix on the MXU.  Entries are in
     # [-n, n] so bf16 inputs are exact; the int8 path feeds the MXU's
-    # native int8 mode (2x bf16 rate on v5e).
+    # native int8 mode (2x bf16 rate on v5e).  The transposed-q layout
+    # contracts q's sublane axis — the MXU handles it natively, and it
+    # is what the lane-major embed kernel (ops/embed.py) emits, so the
+    # engine path never transposes anything (measured faster than the
+    # row-major contraction as well).
+    q_dims = ((0,), (1,)) if q_transposed else ((1,), (1,))
     if compute == "int8":
         scores_i = jax.lax.dot_general(
             q_ref[:],
             s_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(q_dims, ((), ())),
             preferred_element_type=jnp.int32,
         )
     else:
         scores_i = jax.lax.dot_general(
             q_ref[:].astype(jnp.bfloat16),
             s_ref[:].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(q_dims, ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
 
@@ -189,10 +195,11 @@ def _topk_kernel(
     jax.jit,
     static_argnames=(
         "k", "dim", "tile_q", "tile_s", "interpret", "compute", "min_keep",
+        "q_transposed",
     ),
 )
 def topk_dot_pallas(
-    q_emb: jax.Array,   # int8 [NQ, D], NQ % tile_q == 0
+    q_emb: jax.Array,   # int8 [NQ, D] (or [D, NQ] when q_transposed)
     s_emb: jax.Array,   # int8 [NS, D], NS % tile_s == 0 (pad rows zero)
     ns_valid,           # int32 scalar — true NS before padding
     k: int,
@@ -203,13 +210,19 @@ def topk_dot_pallas(
     interpret: bool = False,
     compute: str = "int8",
     min_keep: float = -float("inf"),
+    q_transposed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scores + top-k.  ``min_keep`` (in dot/dim units) declares
     that the caller discards scores below it: rows whose results fall
     entirely below min_keep may return padding instead of their exact
     top-k, which lets noise tiles skip the expensive merge.  Leave at
-    -inf for the exact full top-k."""
-    nq, d = q_emb.shape
+    -inf for the exact full top-k.  ``q_transposed`` takes q as
+    [D, NQ] — the lane-major layout ops/embed.py emits — avoiding any
+    relayout between embedding and matmul."""
+    if q_transposed:
+        d, nq = q_emb.shape
+    else:
+        nq, d = q_emb.shape
     ns = s_emb.shape[0]
     assert nq % tile_q == 0, (nq, tile_q)
     assert ns % tile_s == 0, (ns, tile_s)
@@ -230,6 +243,7 @@ def topk_dot_pallas(
                 s_emb=s_c, q_emb=q_emb, ns_valid=nsv_c, k=k, dim=dim,
                 tile_q=tile_q, tile_s=min(tile_s, s_c.shape[0]),
                 interpret=interpret, compute=compute, min_keep=min_keep,
+                q_transposed=q_transposed,
             )
             vs.append(v)
             ids.append(i + c0)
@@ -249,17 +263,22 @@ def topk_dot_pallas(
 
     kernel = functools.partial(
         _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim, compute=compute,
-        min_keep=min_keep_i,
+        min_keep=min_keep_i, q_transposed=q_transposed,
     )
     ns_valid_arr = jnp.asarray(ns_valid, dtype=jnp.int32).reshape((1,))
 
+    q_spec = (
+        pl.BlockSpec((d, tile_q), lambda i, j, ns_ref: (0, i))
+        if q_transposed
+        else pl.BlockSpec((tile_q, d), lambda i, j, ns_ref: (i, 0))
+    )
     vals, idx = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile_q, d), lambda i, j, ns_ref: (i, 0)),
+                q_spec,
                 pl.BlockSpec((tile_s, d), lambda i, j, ns_ref: (j, 0)),
             ],
             out_specs=[

@@ -161,49 +161,66 @@ def _sw_kernel(
         rolled = pltpu.roll(x, shift=1, axis=1)
         return jnp.where(lane0, zero, rolled)
 
-    # a's anti-diagonal slice via a circularly rolling buffer: with
-    # state_d = roll(a_ext, -(la-1) + d), lanes [0, lb) of state_d hold
-    # a[d - j] (garbage where i=d-j is out of range — masked below).
-    # Mosaic forbids dynamic lane indexing, so this replaces a per-step
-    # dynamic column read with one static lane-roll per step.  DP state
-    # lives in VMEM scratch, not loop carries — Mosaic cannot unify the
-    # layout of splat-constant carry inits with computed loop outputs.
-    state_ref[:] = pltpu.roll(a_ext_ref[:], shift=(w - (la - 1)) % w, axis=1)
-    hprev_ref[:] = jnp.zeros((tb, lb), dtype)
-    hpp_ref[:] = jnp.zeros((tb, lb), dtype)
-    best_ref[:] = jnp.zeros((tb, lb), dtype)
+    # Tiles whose pairs are ALL padding (len_a == 0) skip the wavefront
+    # entirely — the engine's verify batch is a static budget, so the
+    # tail of most batches is padding, and a skipped tile costs one
+    # reduction instead of la+lb-1 serialized steps.  Padded pairs
+    # score 0 either way (best stays 0; denom >= 1).
+    out_ref[:] = jnp.zeros((tb, 1), jnp.float32)
 
-    def step(d, _):
-        h_prev = hprev_ref[:]
-        state = state_ref[:]
-        a_diag = state[:, :lb]
-
-        i_ids = d - j_ids
-        valid = jnp.logical_and(
-            jnp.logical_and(i_ids >= 0, i_ids < len_a), valid_j
+    @pl.when(jnp.any(len_a > 0))
+    def _run():
+        # a's anti-diagonal slice via a circularly rolling buffer: with
+        # state_d = roll(a_ext, -(la-1) + d), lanes [0, lb) of state_d
+        # hold a[d - j] (garbage where i=d-j is out of range — masked
+        # below).  Mosaic forbids dynamic lane indexing, so this
+        # replaces a per-step dynamic column read with one static
+        # lane-roll per step.  DP state lives in VMEM scratch, not loop
+        # carries — Mosaic cannot unify the layout of splat-constant
+        # carry inits with computed loop outputs.
+        state_ref[:] = pltpu.roll(
+            a_ext_ref[:], shift=(w - (la - 1)) % w, axis=1
         )
+        hprev_ref[:] = jnp.zeros((tb, lb), dtype)
+        hpp_ref[:] = jnp.zeros((tb, lb), dtype)
+        best_ref[:] = jnp.zeros((tb, lb), dtype)
 
-        sub = jnp.where(
-            a_diag == b_tok,
-            jnp.asarray(match, dtype),
-            jnp.asarray(mismatch, dtype),
-        )
-        h = jnp.maximum(
-            shift_right_f(hpp_ref[:]) + sub,
-            jnp.maximum(shift_right_f(h_prev), h_prev) + jnp.asarray(gap, dtype),
-        )
-        h = jnp.maximum(h, zero)
-        h = jnp.where(valid, h, zero)
-        best_ref[:] = jnp.maximum(best_ref[:], h)
-        hpp_ref[:] = h_prev
-        hprev_ref[:] = h
-        state_ref[:] = pltpu.roll(state, shift=1, axis=1)
-        return 0
+        def step(d, _):
+            h_prev = hprev_ref[:]
+            state = state_ref[:]
+            a_diag = state[:, :lb]
 
-    jax.lax.fori_loop(0, la + lb - 1, step, 0)
-    denom = match * jnp.maximum(1, jnp.minimum(len_a, len_b)).astype(jnp.float32)
-    best = jnp.max(best_ref[:], axis=1, keepdims=True).astype(jnp.float32)
-    out_ref[:] = best / denom
+            i_ids = d - j_ids
+            valid = jnp.logical_and(
+                jnp.logical_and(i_ids >= 0, i_ids < len_a), valid_j
+            )
+
+            sub = jnp.where(
+                a_diag == b_tok,
+                jnp.asarray(match, dtype),
+                jnp.asarray(mismatch, dtype),
+            )
+            h = jnp.maximum(
+                shift_right_f(hpp_ref[:]) + sub,
+                jnp.maximum(shift_right_f(h_prev), h_prev)
+                + jnp.asarray(gap, dtype),
+            )
+            h = jnp.maximum(h, zero)
+            h = jnp.where(valid, h, zero)
+            best_ref[:] = jnp.maximum(best_ref[:], h)
+            hpp_ref[:] = h_prev
+            hprev_ref[:] = h
+            state_ref[:] = pltpu.roll(state, shift=1, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, la + lb - 1, step, 0)
+        denom = match * jnp.maximum(
+            1, jnp.minimum(len_a, len_b)
+        ).astype(jnp.float32)
+        best = jnp.max(best_ref[:], axis=1, keepdims=True).astype(
+            jnp.float32
+        )
+        out_ref[:] = best / denom
 
 
 @functools.partial(

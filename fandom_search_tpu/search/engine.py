@@ -32,7 +32,7 @@ import numpy as np
 from fandom_search_tpu.config import PipelineConfig
 from fandom_search_tpu.data.hashing import derive_sign_mults
 from fandom_search_tpu.data.shingler import embed_shingles
-from fandom_search_tpu.ops.embed import embed_shingles_pallas
+from fandom_search_tpu.ops.embed import embed_shingles_pallas_t
 from fandom_search_tpu.data.tokenizer import Tokenized
 from fandom_search_tpu.data.fast_tokenizer import tokenize_many
 from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_pallas
@@ -357,9 +357,9 @@ class SearchEngine:
         # at most two streams + outputs in flight.
         acc = _HitAccumulator()
         pending: List[Tuple] = []
-        # one batch of lookahead: deeper queues measured SLOWER on the
-        # axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
-        lookahead = 1
+        # default one batch of lookahead: deeper queues measured SLOWER
+        # on the axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
+        lookahead = max(1, xcfg.lookahead_batches)
         for wids, stream, spans, fresh in self._batches(items):
             stats.num_batches += 1
             stats.num_query_shingles += fresh
@@ -703,18 +703,20 @@ def _candidate_stage(stream, s_emb_padded, ns_valid, mults, *, k, dim,
     Shared by the two-stage candidates call and the fused batch call so
     the two paths cannot drift."""
     if use_pallas:
-        # single-pass fused embedding (ops/embed.py); min_keep = the
-        # compaction threshold so sub-threshold rows skip the top-k
-        # merge entirely (the engine never reads them)
-        q_emb = embed_shingles_pallas(
+        # single-pass lane-major embedding (ops/embed.py); its [dim, M]
+        # output feeds the distance kernel's q_transposed mode with no
+        # relayout in between.  min_keep = the compaction threshold so
+        # sub-threshold rows skip the top-k merge entirely (the engine
+        # never reads them).
+        m = max(0, stream.shape[0] - shingle_cfg.n + 1)
+        q_emb_t = embed_shingles_pallas_t(
             stream, shingle_cfg, mults=mults, interpret=interpret
         )
-        qp, _ = pad_rows(q_emb, 128)
         vals, idx = topk_dot_pallas(
-            qp, s_emb_padded, ns_valid, k, dim, interpret=interpret,
-            min_keep=threshold,
+            q_emb_t, s_emb_padded, ns_valid, k, dim, interpret=interpret,
+            min_keep=threshold, q_transposed=True,
         )
-        return vals[: q_emb.shape[0]], idx[: q_emb.shape[0]]
+        return vals[:m], idx[:m]
     # jnp path: mask padded script rows via a validity column
     q_emb = embed_shingles(stream, shingle_cfg, mults=mults)
     scores = jax.lax.dot_general(

@@ -24,7 +24,7 @@ def main():
     from fandom_search_tpu.config import LSHConfig, SearchConfig, ShingleConfig
     from fandom_search_tpu.data.shingler import embed_shingles_np
     from fandom_search_tpu.ops.distance_topk import topk_dot_pallas, pad_rows
-    from fandom_search_tpu.ops.embed import embed_shingles_pallas
+    from fandom_search_tpu.ops.embed import embed_shingles_pallas_t
     from fandom_search_tpu.ops.lsh import LSHIndex, lsh_topk
     from fandom_search_tpu.ops.smith_waterman import sw_normalized_pallas
 
@@ -60,6 +60,7 @@ def main():
     s_pad, nsv = pad_rows(sd, 2048)
 
     print("== fused distance+topk (min_keep=3.5, engine mode) ==", flush=True)
+    qT = jnp.asarray(q.T.copy())
     for tq, ts, comp in itertools.product(
         (64, 128, 256), (1024, 2048, 4096), ("int8", "bf16")
     ):
@@ -67,18 +68,23 @@ def main():
             dt = t(lambda: topk_dot_pallas(
                 qd, s_pad, nsv, K, DIM, tile_q=tq, tile_s=ts, compute=comp,
                 min_keep=3.5))
+            dtt = t(lambda: topk_dot_pallas(
+                qT, s_pad, nsv, K, DIM, tile_q=tq, tile_s=ts, compute=comp,
+                min_keep=3.5, q_transposed=True))
             print(f"tq={tq} ts={ts} {comp}: {dt*1e3:7.2f} ms  "
-                  f"{NQ*NS/dt/1e9:7.1f} G pairs/s", flush=True)
+                  f"{NQ*NS/dt/1e9:7.1f} G pairs/s   "
+                  f"(qT: {dtt*1e3:7.2f} ms {NQ*NS/dtt/1e9:7.1f} G)",
+                  flush=True)
         except Exception as e:
             print(f"tq={tq} ts={ts} {comp}: FAIL {str(e)[:100]}", flush=True)
 
-    print("== embed kernel ==", flush=True)
+    print("== embed kernel (lane-major) ==", flush=True)
     stream = jnp.asarray(
         rng.integers(0, 2**32, size=NQ + 5, dtype=np.uint32)
     )
-    for tq in (256, 512, 1024):
-        dt = t(lambda: embed_shingles_pallas(stream, scfg, tile_q=tq))
-        print(f"tile_q={tq}: {dt*1e3:6.2f} ms  {NQ/dt/1e6:5.0f} M shingles/s",
+    for tm in (1024, 2048, 4096, 8192):
+        dt = t(lambda: embed_shingles_pallas_t(stream, scfg, tile_m=tm))
+        print(f"tile_m={tm}: {dt*1e3:6.2f} ms  {NQ/dt/1e6:5.0f} M shingles/s",
               flush=True)
 
     print("== smith-waterman ==", flush=True)

@@ -47,6 +47,25 @@ def test_pallas_multi_s_tile_merge(rng):
     _check_against_oracle(vals, idx, q, s)
 
 
+def test_pallas_q_transposed_matches_row_major(rng):
+    """Lane-major q ([D, NQ]) returns identical (vals, idx)."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.distance_topk import pad_rows, topk_dot_pallas
+
+    q, s = _rand_emb(rng, 256), _rand_emb(rng, 1500)
+    s_pad, ns = pad_rows(jnp.asarray(s), 2048)
+    v1, i1 = topk_dot_pallas(
+        jnp.asarray(q), s_pad, ns, K, DIM, interpret=True
+    )
+    v2, i2 = topk_dot_pallas(
+        jnp.asarray(q.T.copy()), s_pad, ns, K, DIM, interpret=True,
+        q_transposed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_pallas_duplicate_rows_ties(rng):
     # Duplicate script shingles -> exact score ties; vals must still match.
     s_half = _rand_emb(rng, 256)

@@ -6,7 +6,10 @@ import pytest
 from fandom_search_tpu.config import ShingleConfig
 from fandom_search_tpu.data.hashing import derive_sign_mults
 from fandom_search_tpu.data.shingler import embed_shingles, embed_shingles_np
-from fandom_search_tpu.ops.embed import embed_shingles_pallas
+from fandom_search_tpu.ops.embed import (
+    embed_shingles_pallas,
+    embed_shingles_pallas_t,
+)
 
 CFG = ShingleConfig()
 
@@ -26,6 +29,17 @@ def test_pallas_embed_matches_jnp(rng):
     a = np.asarray(embed_shingles(t, CFG, mults=mults))
     b = np.asarray(embed_shingles_pallas(t, CFG, mults=mults, interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("t_len", [6, 100, 2053])
+def test_pallas_embed_t_matches_oracle(rng, t_len):
+    """Lane-major kernel: e_T[:, :m].T == oracle; padded cols ignored."""
+    t = rng.integers(0, 2**32, size=t_len, dtype=np.uint32)
+    ref = embed_shingles_np(t, CFG)
+    m = ref.shape[0]
+    out_t = embed_shingles_pallas_t(t, CFG, interpret=True)
+    assert out_t.shape[0] == CFG.dim and out_t.shape[1] % 2048 == 0
+    np.testing.assert_array_equal(np.asarray(out_t)[:, :m].T, ref)
 
 
 def test_pallas_embed_empty():

@@ -99,6 +99,42 @@ def test_engine_multi_batch(world):
     assert {_row_key(r) for r in rows} == {_row_key(r) for r in oracle_rows}
 
 
+def test_stream_buckets_scale_with_content(world):
+    """Small corpora upload small pow2 buckets, capped at batch_queries."""
+    _, _, index = world
+    eng = SearchEngine(index, CFG, use_pallas=False)
+    g = eng._batch_granule
+    n = CFG.shingle.n
+    from fandom_search_tpu.data.fast_tokenizer import tokenize_many
+
+    def streams_for(total_tokens):
+        text = " ".join(f"w{i % 97}" for i in range(total_tokens))
+        items = sorted(tokenize_many({"w0": text}).items())
+        return [s for _, s, _, _ in eng._batches(items)]
+
+    # under one granule -> minimum bucket
+    (s1,) = streams_for(g // 2)
+    assert s1.shape[0] == g + n - 1
+    # just over a granule -> next pow2 rung
+    (s2,) = streams_for(g + 10)
+    assert s2.shape[0] == 2 * g + n - 1
+    # a work at the cap fills exactly one full-cap bucket
+    cap = CFG.search.batch_queries
+    (s3,) = streams_for(cap)
+    assert s3.shape[0] == cap + n - 1
+
+
+def test_bucketed_batches_match_oracle(world):
+    """Rows are identical when works straddle several bucket sizes."""
+    works, _, index = world
+    # granule shrunk so the fixture corpus spans multiple rungs
+    eng = SearchEngine(index, CFG, use_pallas=False)
+    eng._batch_granule = 256
+    rows, stats = eng.search_works(works)
+    oracle_rows, _ = search_works_oracle(works, index, CFG)
+    assert {_row_key(r) for r in rows} == {_row_key(r) for r in oracle_rows}
+
+
 def test_engine_giant_work_split(world):
     """A work longer than the batch capacity is chunked with overlap."""
     works, planted, index = world

@@ -88,6 +88,24 @@ def test_sharded_engine_matches_single(world, works_ax, script_ax):
     assert all((p.work_id, p.line_no) in found for p in planted)
 
 
+def test_sharded_batch_granule_alignment(world):
+    """Stream buckets stay works-shardable: granule % (works*256) == 0."""
+    lines, _, _ = world
+    cfg = PipelineConfig(mesh=MeshConfig(works=4, script=2))
+    cfg = dataclasses.replace(
+        cfg, search=dataclasses.replace(cfg.search, batch_queries=1 << 18)
+    )
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    eng = ShardedSearchEngine(index, cfg, use_pallas=False)
+    assert eng._batch_granule % (4 * 256) == 0
+    # every bucket rung (granule * pow2, capped) stays aligned too
+    g = eng._batch_granule
+    b = g
+    while b < cfg.search.batch_queries:
+        assert b % (4 * 256) == 0
+        b *= 2
+
+
 def test_sharded_engine_pallas_interpret(world):
     """Pallas kernels inside shard_map (interpret mode) agree too."""
     lines, works, planted = world
