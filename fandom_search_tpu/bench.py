@@ -86,6 +86,33 @@ def _recall_by_score(want_vals, got_vals, dim, k):
     return rec / max(1, w.shape[0])
 
 
+def make_e2e_world(rng, n_works: int):
+    """The canonical e2e benchmark workload, shared with
+    scripts/e2e_probe.py so the probe always measures the same shape
+    the bench records: 200-line script (6-14 words/line), vocab 5000,
+    2000-word works with 3 planted quotes each.
+
+    Returns (lines, index, works, cfg)."""
+    from fandom_search_tpu.config import PipelineConfig
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.search.index import build_script_index
+    from fandom_search_tpu.utils.synthetic import (
+        make_corpus_with_quotes, make_script, make_vocab,
+    )
+
+    cfg = PipelineConfig()
+    vocab = make_vocab(rng, 5000)
+    script_text = make_script(rng, vocab, num_lines=200,
+                              words_per_line=(6, 14))
+    lines = parse_script(script_text)
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    works, _ = make_corpus_with_quotes(
+        rng, [ln.text for ln in lines], num_works=n_works,
+        words_per_work=2000, quotes_per_work=3, vocab=vocab,
+    )
+    return lines, index, works, cfg
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     quick = "--quick" in argv or os.environ.get("BENCH_QUICK")
@@ -303,26 +330,13 @@ def main(argv=None) -> int:
 
     # ---- end-to-end engine vs extrapolated CPU oracle --------------------
     if not os.environ.get("BENCH_SKIP_E2E"):
-        from fandom_search_tpu.data.script_parser import parse_script
         from fandom_search_tpu.search.engine import SearchEngine
-        from fandom_search_tpu.search.index import build_script_index
         from fandom_search_tpu.search.oracle import search_works_oracle
-        from fandom_search_tpu.utils.synthetic import (
-            make_corpus_with_quotes, make_script, make_vocab,
-        )
 
         n_works = int(os.environ.get("BENCH_E2E_WORKS", 10000))
         n_cpu_works = int(os.environ.get("BENCH_CPU_E2E_WORKS", 50))
         t0 = time.perf_counter()
-        vocab = make_vocab(rng, 5000)
-        script_text = make_script(rng, vocab, num_lines=200,
-                                  words_per_line=(6, 14))
-        lines = parse_script(script_text)
-        index = build_script_index(lines, cfg.shingle, cfg.search)
-        works, _ = make_corpus_with_quotes(
-            rng, [ln.text for ln in lines], num_works=n_works,
-            words_per_work=2000, quotes_per_work=3, vocab=vocab,
-        )
+        lines, index, works, _e2e_cfg = make_e2e_world(rng, n_works)
         log(f"e2e corpus: {n_works} works built in "
             f"{time.perf_counter()-t0:.1f}s")
 

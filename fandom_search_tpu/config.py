@@ -37,9 +37,12 @@ class ShingleConfig:
     seed: int = 0x5EED      # salt for all hashing; shared host/device
 
     def __post_init__(self) -> None:
-        if self.dim < 1 or self.dim % 32 != 0:
+        # the Pallas kernels lay the embedding dimension along the
+        # TPU's 128-lane axis; fractional lane tiles are not supported
+        if self.dim < 1 or self.dim % 128 != 0:
             raise ValueError(
-                f"dim ({self.dim}) must be a positive multiple of 32"
+                f"dim ({self.dim}) must be a positive multiple of 128 "
+                f"(one full TPU lane tile)"
             )
         if self.n < 1:
             raise ValueError("shingle width must be >= 1")

@@ -376,7 +376,7 @@ class SearchEngine:
             )
             stats.seconds_device_topk += time.perf_counter() - t0
             pending.append((stream_dev, spans, self._cand_budget, out))
-            if len(pending) == 2:
+            if len(pending) > lookahead:
                 self._process_batch(*pending.pop(0), stats, acc)
         while pending:
             if self._use_fused:
@@ -669,11 +669,15 @@ def nonzero_compact(mask, size: int):
     """
     m = mask.ravel()
     csum = jnp.cumsum(m.astype(jnp.int32))
-    # non-masked (and beyond-budget) slots target index `size`, which
-    # is out of bounds of the output and drops; every in-bounds target
-    # is unique, so the scatter needs no combining.
-    dest = jnp.where(m, csum - 1, size)
     src = jnp.arange(m.shape[0], dtype=jnp.int32)
+    # Selected slots within budget target csum-1 (unique, in bounds);
+    # every other slot targets size+src — unique AND out of bounds, so
+    # it drops.  All destinations are globally distinct, which makes
+    # the unique_indices promise hold unconditionally (a bare `size`
+    # for every dropped slot would be a technical violation of the
+    # contract even though OOB writes never land).
+    sel = jnp.logical_and(m, csum <= size)
+    dest = jnp.where(sel, csum - 1, size + src)
     out = jnp.full((size,), -1, jnp.int32)
     return out.at[dest].set(src, mode="drop", unique_indices=True)
 

@@ -99,6 +99,61 @@ def test_engine_multi_batch(world):
     assert {_row_key(r) for r in rows} == {_row_key(r) for r in oracle_rows}
 
 
+def test_nonzero_compact_matches_builtin(rng):
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.search.engine import nonzero_compact
+
+    for frac, size in [(0.0, 64), (0.01, 128), (0.5, 4096), (1.0, 512)]:
+        mask = rng.random(4096) < frac
+        want = np.asarray(
+            jnp.nonzero(jnp.asarray(mask), size=size, fill_value=-1)[0]
+        )
+        got = np.asarray(nonzero_compact(jnp.asarray(mask), size))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_chain_hits_arrays_equals_object_chainer(world):
+    """Property: the vectorized chainer reproduces chain_hits exactly
+    on random (already-deduped) hit sets."""
+    works, _, index = world
+    from fandom_search_tpu.data.fast_tokenizer import tokenize_many
+    from fandom_search_tpu.search.chain import chain_hits, chain_hits_arrays
+    from fandom_search_tpu.search.types import CandidateHit
+
+    tokenized = tokenize_many({w: t for w, t in works.items()})
+    wids = sorted(tokenized)
+    rng = np.random.default_rng(99)
+    seen = set()
+    hits = []
+    for _ in range(400):
+        wi = int(rng.integers(len(wids)))
+        tk = tokenized[wids[wi]]
+        if len(tk) < 10:
+            continue
+        pos = int(rng.integers(len(tk) - 6))
+        line = int(rng.integers(index.line_start.shape[0]))
+        if (wi, pos, line) in seen:
+            continue
+        seen.add((wi, pos, line))
+        hits.append((wi, pos, line, float(rng.random() * 6),
+                     float(rng.random())))
+    arr = np.array(hits, dtype=np.float64)
+    rows_a = chain_hits_arrays(
+        arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64),
+        arr[:, 2].astype(np.int64), arr[:, 3].astype(np.float32),
+        arr[:, 4].astype(np.float32), wids, tokenized, index,
+        CFG.shingle, CFG.search,
+    )
+    objs = [
+        CandidateHit(wids[int(w)], int(p), int(ln),
+                     float(np.float32(s)), float(np.float32(v)))
+        for w, p, ln, s, v in hits
+    ]
+    rows_o = chain_hits(objs, tokenized, index, CFG.shingle, CFG.search)
+    assert [r.to_csv_row() for r in rows_a] == [r.to_csv_row() for r in rows_o]
+
+
 def test_stream_buckets_scale_with_content(world):
     """Small corpora upload small pow2 buckets, capped at batch_queries."""
     _, _, index = world
