@@ -247,7 +247,8 @@ class ShardedSearchEngine(SearchEngine):
                 eng_self._script_stream, eng_self._shingle_line_d,
                 eng_self._shingle_anchor_d, eng_self._line_start_d,
                 eng_self._line_len_d,
-                n=n, search_cfg=xcfg, verify_budget=verify_budget,
+                n=n, dim=scfg.dim, search_cfg=xcfg,
+                verify_budget=verify_budget,
                 nspans=nspans, verify_impl=_pad_and_verify,
             )
 

@@ -823,7 +823,7 @@ def _fused_jit(
     return fused_tail(
         stream, sp_start, sp_len, qpos, sidx, score, cand_count,
         script_stream, shingle_line, shingle_anchor, line_start, line_len,
-        n=n, search_cfg=search_cfg, verify_budget=verify_budget,
+        n=n, dim=dim, search_cfg=search_cfg, verify_budget=verify_budget,
         nspans=nspans, verify_impl=verify_impl,
     )
 
@@ -831,7 +831,7 @@ def _fused_jit(
 def fused_tail(
     stream, sp_start, sp_len, qpos, sidx, score, cand_count,
     script_stream, shingle_line, shingle_anchor, line_start, line_len,
-    *, n, search_cfg, verify_budget, nspans, verify_impl,
+    *, n, dim, search_cfg, verify_budget, nspans, verify_impl,
 ):
     """Dedup -> windows -> verification -> verified-hit compaction.
 
@@ -850,10 +850,42 @@ def fused_tail(
     ok = jnp.logical_and(ok, jnp.logical_and(qpos >= st, qpos <= st + ln - n))
     line = shingle_line[jnp.clip(sidx, 0, shingle_line.shape[0] - 1)]
     bad = jnp.logical_not(ok).astype(jnp.int32)
-    bad_s, qpos_s, line_s, _, sidx_s, score_s, spanof_s = jax.lax.sort(
-        (bad, qpos, line, -score, sidx, score, span_of),
-        num_keys=4, is_stable=True,
+    # Sort keys packed 4 -> 2 when ranges allow (always, for default
+    # configs): k1 = bad<<30 | qpos, k2 = line*width + (smax - score·dim)
+    # — the sort is over [cand_budget] and its cost scales with the
+    # operand count, so 4 arrays / 2 keys instead of 7 / 4 nearly
+    # halves it.  score·dim is an exact integer in [-smax, smax]
+    # (int8 embeddings), so the packed value reconstructs score
+    # exactly; bad entries pack zeros (their payload is never read).
+    # |score * dim| <= n^2 * dim: embedding entries lie in [-n, n]
+    # (repeated words stack), so a dot can reach n^2 * dim — same
+    # bound the distance kernel's packed selection uses.
+    smax = n * n * dim
+    width = 1
+    while width < 2 * smax + 2:
+        width *= 2
+    packable = (
+        t_pad < (1 << 21)
+        and line_start.shape[0] * width < (1 << 30)
     )
+    if packable:
+        score_i = jnp.where(
+            ok, jnp.round(score * dim).astype(jnp.int32), 0
+        )
+        k1 = (bad << 30) | jnp.maximum(qpos, 0)
+        k2 = jnp.where(ok, line, 0) * width + (smax - score_i)
+        k1_s, k2_s, sidx_s, spanof_s = jax.lax.sort(
+            (k1, k2, sidx, span_of), num_keys=2, is_stable=True,
+        )
+        bad_s = k1_s >> 30
+        qpos_s = k1_s & ((1 << 30) - 1)
+        line_s = k2_s // width
+        score_s = (smax - k2_s % width).astype(jnp.float32) / dim
+    else:
+        bad_s, qpos_s, line_s, _, sidx_s, score_s, spanof_s = jax.lax.sort(
+            (bad, qpos, line, -score, sidx, score, span_of),
+            num_keys=4, is_stable=True,
+        )
     first = jnp.logical_and(
         bad_s == 0,
         jnp.concatenate([

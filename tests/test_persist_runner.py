@@ -86,6 +86,42 @@ def test_resumable_runner(tmp_path, world):
     assert len(rows3) == len(direct)
 
 
+def test_resumable_runner_sharded(tmp_path, world):
+    """Resume works with the sharded engine too (same API surface)."""
+    import dataclasses
+
+    import jax
+
+    from fandom_search_tpu.config import MeshConfig
+    from fandom_search_tpu.parallel.sharded import ShardedSearchEngine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices (conftest provisions 8)")
+    index, works, planted = world
+    cfg = dataclasses.replace(
+        PipelineConfig(mesh=MeshConfig(works=4, script=1)),
+        search=dataclasses.replace(CFG.search, batch_queries=4 * 512),
+    )
+    eng = ShardedSearchEngine(index, cfg, use_pallas=False)
+    direct, _ = eng.search_works(works)
+
+    out = tmp_path / "run_sharded"
+    runner = ResumableRunner(eng, out, unit_size=4)
+    rows = runner.run(works)
+    assert sorted(r.to_csv_row() for r in rows) == sorted(
+        r.to_csv_row() for r in direct
+    )
+    summary = runner.stats_summary()
+    assert summary["units"] == 3 and summary["verified"] > 0
+
+    # resume path returns identical rows without recomputing
+    runner2 = ResumableRunner(eng, out, unit_size=4)
+    rows2 = runner2.run(works)
+    assert sorted(r.to_csv_row() for r in rows2) == sorted(
+        r.to_csv_row() for r in direct
+    )
+
+
 def test_stage_timer():
     t = StageTimer()
     with t("a"):
