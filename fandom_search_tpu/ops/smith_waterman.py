@@ -24,18 +24,21 @@ when the shorter side is contained exactly.  Semantics are bit-matched
 by three implementations: NumPy (search/verify_np.py), jnp lax.scan
 (``sw_normalized_jnp``), and the Pallas kernel (``sw_normalized_pallas``).
 
-Performance notes (measured on v5e, 2026-08-16): ~2.3 G cells/s at
-tile_b=256.  The limit is per-step loop machinery, not arithmetic —
-three restructurings tried and rejected: (a) fori_loop carries instead
-of VMEM scratch fail to compile (layout unification of carried
-tensors, which is why scratch is used at all); (b) full static unroll
-of the 127 anti-diagonal steps is rejected by the remote compiler;
-(c) packing TWO pairs per row (pair A lanes 0-63, pair B lanes 64-127,
-full 128-lane vregs) compiles and is exact but measured 0.71x — the
+Performance notes (measured on v5e, 2026-08-16): ~2.3-5.7 G cells/s
+at tile_b=256 / B=16384 (the tunnel's device-throughput phases swing
+individual readings; interleaved A/B only).  Four restructurings
+tried and rejected: (a) fori_loop carries instead of VMEM scratch
+fail to compile (layout unification of carried tensors, which is why
+scratch is used at all); (b) full static unroll of the 127
+anti-diagonal steps is rejected by the remote compiler; (c) packing
+TWO pairs per row (pair A lanes 0-63, pair B lanes 64-127, full
+128-lane vregs) compiles and is exact but measured 0.71x — the
 per-step concat of the two diagonal buffers and doubled masks cost
-more than the halved step count saves.  Revisit when Mosaic's loop
-handling improves; the op count per step is already near-minimal
-(3 lane-rolls + ~10 elementwise).
+more than the halved step count saves; (d) loop unrolling by
+2/4/8 (the ``unroll`` knob): 2 is a wash vs 1, deeper is worse.
+All-padding tiles skip the wavefront via a pl.when gate.  The op
+count per step is already near-minimal (3 lane-rolls + ~10
+elementwise).
 """
 
 from __future__ import annotations
@@ -146,6 +149,7 @@ def _sw_kernel(
     mismatch: float,
     gap: float,
     dtype,
+    unroll: int,
 ):
     tb = b_ref.shape[0]
     w = la + lb
@@ -212,19 +216,24 @@ def _sw_kernel(
             hprev_ref[:] = h
             state_ref[:] = pltpu.roll(state, shift=1, axis=1)
 
-        # Two diagonals per fori_loop iteration: the wavefront is
-        # serialized by data dependency and the per-iteration loop
-        # machinery dominates the arithmetic, so unrolling by 2 halves
-        # that overhead.  When la+lb-1 is odd the extra trailing
-        # diagonal is a no-op by construction: its validity mask
-        # (i in [0, len_a)) is empty, so h == 0 everywhere and the
-        # state rolls harmlessly.
-        def step2(it, _):
-            one_diag(2 * it)
-            one_diag(2 * it + 1)
+        # ``unroll`` diagonals per fori_loop iteration: the wavefront
+        # is serialized by data dependency and the per-iteration loop
+        # machinery dominates the arithmetic, so unrolling divides
+        # that overhead.  Trailing phantom diagonals (when unroll does
+        # not divide la+lb-1) are no-ops by construction: their
+        # validity mask (i in [0, len_a)) is empty, so h == 0
+        # everywhere and the state rolls harmlessly.  Interleaved
+        # same-process A/B on v5e: unroll 1 == 2 (11.9 vs 11.8 ms at
+        # B=16384), 4 and 8 are WORSE — Mosaic's loop overhead is not
+        # the limiter (an isolated pair of runs once suggested 1.85x,
+        # which turned out to be tunnel-phase noise; trust only
+        # interleaved A/B here).  Kept as a tuning knob.
+        def step_u(it, _):
+            for u in range(unroll):
+                one_diag(unroll * it + u)
             return 0
 
-        jax.lax.fori_loop(0, (la + lb) // 2, step2, 0)
+        jax.lax.fori_loop(0, -(-(la + lb - 1) // unroll), step_u, 0)
         denom = match * jnp.maximum(
             1, jnp.minimum(len_a, len_b)
         ).astype(jnp.float32)
@@ -236,10 +245,13 @@ def _sw_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("match", "mismatch", "gap", "tile_b", "interpret"),
+    static_argnames=(
+        "match", "mismatch", "gap", "tile_b", "interpret", "unroll",
+    ),
 )
 def _sw_pallas_call(
-    a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret
+    a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret,
+    unroll=2,
 ):
     bsz, la = a.shape
     lb = b.shape[1]
@@ -253,7 +265,7 @@ def _sw_pallas_call(
     )
     kernel = functools.partial(
         _sw_kernel, la=la, lb=lb, match=match, mismatch=mismatch, gap=gap,
-        dtype=dtype,
+        dtype=dtype, unroll=unroll,
     )
     return pl.pallas_call(
         kernel,
@@ -290,6 +302,7 @@ def sw_normalized_pallas(
     *,
     tile_b: int = 256,
     interpret: bool = False,
+    unroll: int = 2,
 ):
     """Normalized SW scores for a batch of pairs. Pads batch to tile_b."""
     a = jnp.asarray(a, jnp.uint32)
@@ -308,6 +321,6 @@ def sw_normalized_pallas(
     out = _sw_pallas_call(
         a, b, len_a, len_b,
         match=cfg.sw_match, mismatch=cfg.sw_mismatch, gap=cfg.sw_gap,
-        tile_b=tile_b, interpret=interpret,
+        tile_b=tile_b, interpret=interpret, unroll=unroll,
     )
     return out[:bsz, 0]
