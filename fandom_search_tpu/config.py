@@ -97,6 +97,12 @@ class SearchConfig:
                 f"batch_queries*k ({self.batch_queries}*{self.k}) must stay "
                 f"below 2^24 for exact f32 counts in the fused batch path"
             )
+        if self.batch_queries < self.window_tokens:
+            raise ValueError(
+                f"batch_queries ({self.batch_queries}) must be >= "
+                f"window_tokens ({self.window_tokens}): split-work chunks "
+                f"must be able to contain a full verification window"
+            )
 
 
 @dataclass(frozen=True)

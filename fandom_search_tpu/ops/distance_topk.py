@@ -75,11 +75,17 @@ def topk_dot_jnp(
 # monotone in (score asc, col desc), so a single max() implements
 # "highest score, lowest column wins ties" and every (score, col) is
 # unique — each selection pass is max / compare-equal / select with no
-# concatenations.  Fits int32 for |score| <= 4608 (int8 embeddings,
-# dim 128) and global_col < 2^17; the wrapper asserts the col bound.
+# concatenations.  global_col < 2^17 is enforced by column chunking;
+# the score budget is |score| <= 8191: above that the positive side
+# overflows int32 (score*2^17 + col at 16383) and the negative side
+# collides with the sentinel (-8192 * 2^17 == _PACK_SENTINEL exactly).
+# The default embedding spec (n=6, dim=128) bounds |score| by
+# n^2*dim = 4608; callers with wider configs pass max_abs_score and
+# the wrapper falls back to an exact unpacked path.
 _COL_BITS = 17
 _COL_MASK = (1 << _COL_BITS) - 1
 _PACK_SENTINEL = -(1 << 30)  # below any real packed value
+_PACK_MAX_SCORE = 8191
 
 
 def _topk_kernel(
@@ -195,7 +201,7 @@ def _topk_kernel(
     jax.jit,
     static_argnames=(
         "k", "dim", "tile_q", "tile_s", "interpret", "compute", "min_keep",
-        "q_transposed",
+        "q_transposed", "max_abs_score",
     ),
 )
 def topk_dot_pallas(
@@ -211,6 +217,7 @@ def topk_dot_pallas(
     compute: str = "int8",
     min_keep: float = -float("inf"),
     q_transposed: bool = False,
+    max_abs_score: int = 4608,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scores + top-k.  ``min_keep`` (in dot/dim units) declares
     that the caller discards scores below it: rows whose results fall
@@ -218,7 +225,11 @@ def topk_dot_pallas(
     top-k, which lets noise tiles skip the expensive merge.  Leave at
     -inf for the exact full top-k.  ``q_transposed`` takes q as
     [D, NQ] — the lane-major layout ops/embed.py emits — avoiding any
-    relayout between embedding and matmul."""
+    relayout between embedding and matmul.  ``max_abs_score`` is the
+    caller's bound on the raw integer dot (n^2 * dim for the shingle
+    embedding); beyond the int32 packing budget the wrapper runs an
+    exact unpacked top-k instead (correct, slower — measured wrong
+    answers at dim>=256 without this)."""
     if q_transposed:
         d, nq = q_emb.shape
     else:
@@ -226,6 +237,20 @@ def topk_dot_pallas(
     ns = s_emb.shape[0]
     assert nq % tile_q == 0, (nq, tile_q)
     assert ns % tile_s == 0, (ns, tile_s)
+
+    if max_abs_score > _PACK_MAX_SCORE:
+        # Exact unpacked fallback: int8 MXU matmul + masked lax.top_k
+        # (stable: lowest index wins ties, same as the packed kernel).
+        q = q_emb.T if q_transposed else q_emb
+        scores = jax.lax.dot_general(
+            q, s_emb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        col = jnp.arange(ns, dtype=jnp.int32)[None, :]
+        scores = jnp.where(col < jnp.asarray(ns_valid), scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals / dim, idx.astype(jnp.int32)
 
     max_cols = 1 << _COL_BITS
     if ns > max_cols:
@@ -243,7 +268,7 @@ def topk_dot_pallas(
                 s_emb=s_c, q_emb=q_emb, ns_valid=nsv_c, k=k, dim=dim,
                 tile_q=tile_q, tile_s=min(tile_s, s_c.shape[0]),
                 interpret=interpret, compute=compute, min_keep=min_keep,
-                q_transposed=q_transposed,
+                q_transposed=q_transposed, max_abs_score=max_abs_score,
             )
             vs.append(v)
             ids.append(i + c0)
@@ -326,6 +351,7 @@ def topk_dot(
     tile_s: int = 2048,
     compute: str = "int8",
     min_keep: float = -float("inf"),
+    max_abs_score: int = 4608,
 ):
     """Dispatcher with automatic padding. Returns (vals, idx) for true rows."""
     nq = q_emb.shape[0]
@@ -342,6 +368,6 @@ def topk_dot(
     vals, idx = topk_dot_pallas(
         qp, sp, ns_valid, k, dim,
         tile_q=tile_q, tile_s=tile_s, interpret=interpret, compute=compute,
-        min_keep=min_keep,
+        min_keep=min_keep, max_abs_score=max_abs_score,
     )
     return vals[:nq], idx[:nq]

@@ -56,7 +56,7 @@ def _local_topk_jnp(q_emb, s_emb, ns_valid, k, dim):
 
 def sharded_topk(
     mesh,
-    q_emb: jax.Array,       # int8 [NQ, D], NQ % (works * tile_q) == 0
+    q_emb: jax.Array,       # int8 [NQ, D] (or [D, NQ] when q_transposed)
     s_emb: jax.Array,       # int8 [NS_pad, D], NS_pad % (script * tile) == 0
     ns_valid_per_shard,     # int32 [script_shards]
     k: int,
@@ -67,6 +67,8 @@ def sharded_topk(
     tile_q: int = 128,
     tile_s: int = 2048,
     min_keep: float = -float("inf"),
+    q_transposed: bool = False,
+    max_abs_score: int = 4608,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact global top-k with a works x script sharded mesh."""
     script_shards = mesh.shape[AXIS_SCRIPT]
@@ -77,10 +79,12 @@ def sharded_topk(
             vals, idx = topk_dot_pallas(
                 q_l, s_l, nsv_l[0], k, dim,
                 tile_q=tile_q, tile_s=tile_s, interpret=interpret,
-                min_keep=min_keep,
+                min_keep=min_keep, q_transposed=q_transposed,
+                max_abs_score=max_abs_score,
             )
         else:
-            vals, idx = _local_topk_jnp(q_l, s_l, nsv_l[0], k, dim)
+            q_row = q_l.T if q_transposed else q_l
+            vals, idx = _local_topk_jnp(q_row, s_l, nsv_l[0], k, dim)
         # local -> global script-shingle index
         shard = jax.lax.axis_index(AXIS_SCRIPT)
         idx = idx + shard * ns_per_shard
@@ -92,10 +96,11 @@ def sharded_topk(
         midx = jnp.take_along_axis(all_idx, mpos, axis=1)
         return mvals, midx
 
+    q_spec = P(None, AXIS_WORKS) if q_transposed else P(AXIS_WORKS, None)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(AXIS_WORKS, None), P(AXIS_SCRIPT, None), P(AXIS_SCRIPT)),
+        in_specs=(q_spec, P(AXIS_SCRIPT, None), P(AXIS_SCRIPT)),
         out_specs=(P(AXIS_WORKS, None), P(AXIS_WORKS, None)),
         check_vma=False,
     )
@@ -223,6 +228,7 @@ class ShardedSearchEngine(SearchEngine):
             static_argnames=("cand_budget", "verify_budget", "nspans"),
         )
         def fused(stream_ext, *, cand_budget, verify_budget, nspans):
+            from fandom_search_tpu.ops.embed import embed_shingles_pallas_t
             from fandom_search_tpu.search.engine import fused_tail
 
             n = scfg.n
@@ -230,12 +236,53 @@ class ShardedSearchEngine(SearchEngine):
             stream = stream_ext[:t_pad]
             sp_start = stream_ext[t_pad : t_pad + nspans].astype(jnp.int32)
             sp_len = stream_ext[t_pad + nspans :].astype(jnp.int32)
-            q_emb = embed_shingles(stream, scfg, mults=eng_self._mults)
+            if up:
+                # Lane-major Pallas embedding, sharded over `works`
+                # with an (n-1)-token halo exchange: shard i embeds
+                # its token slice plus the first n-1 tokens of shard
+                # i+1 (a ppermute pull over ICI); the last shard's
+                # halo is the stream's replicated tail.  The [D, NQ]
+                # output feeds the transposed distance kernel with no
+                # relayout — same no-relayout property as the
+                # single-device fused path.
+                rows = t_pad - n + 1  # == bucket, % (works*256) == 0
+                main, tail = stream[:rows], stream[rows:]
+
+                def local_embed(main_l, tail_r):
+                    if works > 1:
+                        head = main_l[: n - 1]
+                        nxt = jax.lax.ppermute(
+                            head, AXIS_WORKS,
+                            perm=[(i, i - 1) for i in range(1, works)],
+                        )
+                        w_ix = jax.lax.axis_index(AXIS_WORKS)
+                        halo = jnp.where(w_ix == works - 1, tail_r, nxt)
+                    else:
+                        halo = tail_r
+                    ext_l = jnp.concatenate([main_l, halo])
+                    et = embed_shingles_pallas_t(
+                        ext_l, scfg, mults=eng_self._mults, interpret=ip
+                    )
+                    return et[:, : main_l.shape[0]]
+
+                q_t = jax.shard_map(
+                    local_embed,
+                    mesh=mesh_,
+                    in_specs=(P(AXIS_WORKS), P(None)),
+                    out_specs=P(None, AXIS_WORKS),
+                    check_vma=False,
+                )(main, tail)
+                q_in, q_tr = q_t, True
+            else:
+                q_in = embed_shingles(stream, scfg, mults=eng_self._mults)
+                q_tr = False
             vals, idx = sharded_topk(
-                mesh_, q_emb, eng_self._s_emb_sharded,
+                mesh_, q_in, eng_self._s_emb_sharded,
                 eng_self._ns_valid_shards, xcfg.k, scfg.dim,
                 use_pallas=up, interpret=ip,
                 min_keep=xcfg.candidate_threshold,
+                q_transposed=q_tr,
+                max_abs_score=scfg.n * scfg.n * scfg.dim,
             )
             qpos, sidx, score, cand_count = compact_candidates(
                 vals, idx, xcfg.candidate_threshold, ns_true,

@@ -79,33 +79,66 @@ class _HitAccumulator:
     the 10k-works benchmark.
     """
 
-    def __init__(self):
+    def __init__(self, tokenized: Dict[str, Tokenized] | None = None):
         self.work_ids: List[str] = []
         self._map: Dict[str, int] = {}
         self._parts: List[Tuple[np.ndarray, ...]] = []
+        # full-work token counts, for the split-chunk window filter
+        # (split chunks only flush after _work_stream has tokenized
+        # the whole work, so lookups always succeed).  Identity matters:
+        # the engine MUTATES this dict as tokenization streams in, so
+        # an initially-empty dict must not be replaced (`or {}` would).
+        self._tokenized = tokenized if tokenized is not None else {}
 
     def span_tables(self, spans):
-        """(work_idx, fold_offset, is_split) per span; interns work ids.
+        """(work_idx, fold_offset, is_split, work_len) per span.
 
         Split-chunk span ids ("wid\\x00offset") fold back to the work
-        here, so downstream arrays never see chunk ids.
+        here, so downstream arrays never see chunk ids.  work_len is
+        the FULL work's token count for split spans (0 otherwise).
         """
         m = len(spans)
         widx = np.empty(m, np.int64)
         fold = np.zeros(m, np.int64)
         split = np.zeros(m, bool)
+        wlen = np.zeros(m, np.int64)
         for j, (wid, _, _) in enumerate(spans):
             if "\x00" in wid:
                 wid, off = wid.split("\x00")
                 fold[j] = int(off)
                 split[j] = True
+                wlen[j] = len(self._tokenized[wid])
             ix = self._map.get(wid)
             if ix is None:
                 ix = len(self.work_ids)
                 self._map[wid] = ix
                 self.work_ids.append(wid)
             widx[j] = ix
-        return widx, fold, split
+        return widx, fold, split, wlen
+
+    @staticmethod
+    def split_window_ok(local, span_of, fold, split, wlen, span_len,
+                        window: int, lead: int):
+        """Keep-mask for split-chunk hits: the chunk must fully contain
+        the ORACLE's verification window for the shingle.
+
+        The oracle centers a ``window``-token window on the shingle
+        within the FULL work (clamped to work bounds).  A chunk that
+        contains that exact span produces a bit-identical verification;
+        a chunk that merely contains the shingle produces a
+        boundary-shifted window whose score can differ (one-sidedly
+        admitting hits the oracle rejects).  Chunks overlap by
+        window-1 tokens, so exactly one chunk satisfies this per
+        shingle — the filter both restores oracle parity and makes
+        cross-chunk duplicates impossible.
+        """
+        o = fold[span_of]
+        L = span_len[span_of]
+        W = wlen[span_of]
+        g = local + o
+        a0w = np.clip(g - lead, 0, np.maximum(0, W - window))
+        ok = (a0w >= o) & (a0w + window <= o + L)
+        return np.where(split[span_of], ok, True)
 
     def add(self, widx, fpos, line, score, vscore, split):
         self._parts.append((widx, fpos, line, score, vscore, split))
@@ -168,11 +201,15 @@ class SearchEngine:
         self._mults = jnp.asarray(
             derive_sign_mults(scfg.seed, scfg.n, scfg.dim)
         )
-        s_emb = jnp.asarray(index.embeddings)
-        self._s_emb_padded, self._ns_valid = pad_rows(
-            s_emb, xcfg.script_pad_multiple
+        # Padded script matrix stays host-side until first use: the
+        # sharded subclass keeps its own re-padded device copy and
+        # never reads this one (only the two-stage path and the LSH
+        # rerank do), so materializing it eagerly would double the
+        # index's HBM footprint under ShardedSearchEngine.
+        self._s_emb_padded_host, self._ns_valid = pad_rows(
+            np.asarray(index.embeddings), xcfg.script_pad_multiple
         )
-        self._s_emb_padded = jax.device_put(self._s_emb_padded)
+        self._s_emb_dev = None
         # script token stream for line-side verify segments (padded so
         # the clip-gather always has one valid element)
         stream = index.stream_hashes
@@ -207,7 +244,7 @@ class SearchEngine:
 
         # The fused path runs candidate gen + dedup + window building +
         # verification as ONE jit call per batch: one upload (stream +
-        # span table) and one 40KB pull (verified hits + counts) per
+        # span table) and one ~320KB pull (verified hits + counts) per
         # batch — transfer count dominates on this tunnel.  The
         # two-stage path below remains for the sharded subclass and the
         # LSH prefilter, which swap individual stages.
@@ -231,17 +268,30 @@ class SearchEngine:
             interpret=interpret,
         )
 
+    @property
+    def _s_emb_padded(self):
+        """Device copy of the padded script matrix, materialized lazily."""
+        if self._s_emb_dev is None:
+            self._s_emb_dev = jax.device_put(
+                jnp.asarray(self._s_emb_padded_host)
+            )
+        return self._s_emb_dev
+
     # -- batching ----------------------------------------------------------
 
     def _batches(
         self, items: Iterable[Tuple[str, Tokenized]]
-    ) -> Iterable[Tuple[List[str], np.ndarray, List[Tuple[str, int, int]]]]:
-        """Pack works into fixed-size token streams.
+    ) -> Iterable[
+        Tuple[List[str], np.ndarray, List[Tuple[str, int, int]], int]
+    ]:
+        """Pack works into bucketed token streams.
 
         ``items`` yields (work_id, Tokenized) in stable (sorted) order —
         a dict's sorted items or the overlapped tokenizer stream.
-        Yields (work_ids, stream uint32 [T_pad], spans) where spans is
-        [(work_id, stream_offset, num_tokens)].
+        Yields (work_ids, stream uint32 [T_bucket], spans, fresh) where
+        spans is [(work_id, stream_offset, num_tokens)] and fresh is
+        the number of not-previously-counted query shingles (split
+        chunks exclude their leading overlap).
         """
         cap = self.cfg.search.batch_queries
         n = self.cfg.shingle.n
@@ -339,8 +389,6 @@ class SearchEngine:
         stats.num_works = len(works)
         stats.extra["ns"] = float(self.index.num_shingles)
         if self.index.num_shingles == 0:
-            if raw:
-                tokenized.update(tokenize_many(raw))
             return [], stats
 
         # Tokenization overlaps device work: raw works tokenize in
@@ -355,7 +403,7 @@ class SearchEngine:
         # host processes the previous batch (jax dispatch is async;
         # the device executes in order).  One batch of lookahead keeps
         # at most two streams + outputs in flight.
-        acc = _HitAccumulator()
+        acc = _HitAccumulator(tokenized)
         pending: List[Tuple] = []
         # default one batch of lookahead: deeper queues measured SLOWER
         # on the axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
@@ -479,7 +527,7 @@ class SearchEngine:
         scfg = self.cfg.shingle
         t0 = time.perf_counter()
         while True:
-            host = np.asarray(out)  # ONE pull per batch (~40KB)
+            host = np.asarray(out)  # ONE pull per batch (5 x verify_budget f32)
             cand_count = int(host[4, 0])
             uniq_count = int(host[4, 1])
             retry = False
@@ -514,10 +562,17 @@ class SearchEngine:
         vscore = host[3, :ver_count]
         span_of = np.searchsorted(starts, qpos, side="right") - 1
         local = qpos - starts[span_of]
-        span_widx, span_fold, span_split = acc.span_tables(spans)
+        span_widx, span_fold, span_split, span_wlen = acc.span_tables(spans)
+        xcfg = self.cfg.search
+        span_len = np.array([m for _, _, m in spans], dtype=np.int64)
+        keep = acc.split_window_ok(
+            local, span_of, span_fold, span_split, span_wlen, span_len,
+            xcfg.window_tokens, (xcfg.window_tokens - scfg.n) // 2,
+        )
+        sp_k = span_of[keep]
         acc.add(
-            span_widx[span_of], local + span_fold[span_of], line,
-            score, vscore, span_split[span_of],
+            span_widx[sp_k], local[keep] + span_fold[sp_k], line[keep],
+            score[keep], vscore[keep], span_split[sp_k],
         )
         stats.seconds_host += time.perf_counter() - t0
 
@@ -645,7 +700,11 @@ class SearchEngine:
 
         t0 = time.perf_counter()
         keep = scores >= xcfg.verify_threshold
-        span_widx, span_fold, span_split = acc.span_tables(spans)
+        span_widx, span_fold, span_split, span_wlen = acc.span_tables(spans)
+        keep &= acc.split_window_ok(
+            pos_u, sp_u, span_fold, span_split, span_wlen, lens,
+            xcfg.window_tokens, (xcfg.window_tokens - scfg.n) // 2,
+        )
         sp_k = sp_u[keep]
         acc.add(
             span_widx[sp_k], pos_u[keep] + span_fold[sp_k],
@@ -737,6 +796,7 @@ def _candidate_stage(stream, s_emb_padded, ns_valid, mults, *, k, dim,
         vals, idx = topk_dot_pallas(
             q_emb_t, s_emb_padded, ns_valid, k, dim, interpret=interpret,
             min_keep=threshold, q_transposed=True,
+            max_abs_score=shingle_cfg.n * shingle_cfg.n * dim,
         )
         return vals[:m], idx[:m]
     # jnp path: mask padded script rows via a validity column

@@ -206,6 +206,35 @@ def test_engine_giant_work_split(world):
     assert any(r.line_no == 5 for r in rows)
 
 
+def test_giant_work_split_exact_oracle_parity(world):
+    """Split-chunk verification is BIT-identical to the oracle's
+    (chunk-boundary windows must not shift scores): quotes planted at
+    every chunk-boundary-relative offset, rows AND scores compared."""
+    _, _, index = world
+    rng = np.random.default_rng(17)
+    vocab = make_vocab(rng, 500)
+    cap = 1024
+    w = CFG.search.window_tokens
+    words = [vocab[i] for i in rng.integers(0, len(vocab), 4 * cap)]
+    # plant quotes straddling / flanking each chunk boundary
+    for c in (1, 2, 3):
+        base = c * (cap - (w - 1))  # chunk start
+        for off in (-40, -3, 0, 7, w // 2):
+            pos = base + off
+            q = index.lines[(c + off) % len(index.lines)].text.split()
+            words[pos : pos + len(q)] = q
+    giant = " ".join(words)
+    small = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, batch_queries=cap)
+    )
+    eng = SearchEngine(index, small, use_pallas=False)
+    rows, _ = eng.search_works({"giant": giant})
+    oracle_rows, _ = search_works_oracle({"giant": giant}, index, small)
+    assert [r.to_csv_row() for r in rows] == [
+        r.to_csv_row() for r in oracle_rows
+    ]
+
+
 def test_long_line_tail_quote_verifies():
     # A 200-token script line: a quote of its TAIL must still verify
     # (round 1 truncated lines to max_line_tokens=64, so tail quotes of
