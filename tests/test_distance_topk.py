@@ -66,6 +66,25 @@ def test_pallas_q_transposed_matches_row_major(rng):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_wide_dim_exceeding_pack_budget_falls_back_exact(rng):
+    """dim=512 embeddings can produce |score*dim| > the int32 packing
+    budget; the wrapper must return exact results (regression: the
+    packed kernel silently corrupted top-k above the budget)."""
+    DIM2 = 512
+    q = rng.integers(-6, 7, size=(128, DIM2)).astype(np.int8)
+    s = rng.integers(-6, 7, size=(64, DIM2)).astype(np.int8)
+    # a strong planted match: dot = 6*6*512 = 18432, overflows packing
+    s[5] = q[0] = np.full(DIM2, 6, np.int8)
+    vals, idx = topk_dot(
+        q, s, K, DIM2, use_pallas=True, interpret=True,
+        max_abs_score=6 * 6 * DIM2,
+    )
+    full = q.astype(np.int32) @ s.astype(np.int32).T / DIM2
+    want = np.sort(full, axis=1)[:, ::-1][:, :K]
+    np.testing.assert_allclose(np.asarray(vals), want, atol=1e-6)
+    assert int(np.asarray(idx)[0, 0]) == 5
+
+
 def test_pallas_duplicate_rows_ties(rng):
     # Duplicate script shingles -> exact score ties; vals must still match.
     s_half = _rand_emb(rng, 256)
