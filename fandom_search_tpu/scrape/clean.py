@@ -15,6 +15,18 @@ from typing import Dict, Iterable, List, Optional
 
 log = logging.getLogger(__name__)
 
+
+def _bs4_parser() -> str:
+    """lxml when available (~5-10x faster than the pure-Python
+    html.parser at corpus scale; identical extraction for AO3's
+    well-formed pages), else the stdlib fallback."""
+    try:
+        import lxml  # noqa: F401
+
+        return "lxml"
+    except ImportError:
+        return "html.parser"
+
 META_FIELDS = (
     "work_id",
     "title",
@@ -43,7 +55,7 @@ def extract_text(html: str) -> Optional[str]:
     """
     from bs4 import BeautifulSoup
 
-    soup = BeautifulSoup(html, "html.parser")
+    soup = BeautifulSoup(html, _bs4_parser())
     skin = soup.select_one("#workskin")
     if skin is None:
         return None
@@ -76,7 +88,7 @@ def extract_meta(html: str, work_id: str = "") -> Optional[Dict[str, str]]:
     """Work metadata from the page preface + stats block."""
     from bs4 import BeautifulSoup
 
-    soup = BeautifulSoup(html, "html.parser")
+    soup = BeautifulSoup(html, _bs4_parser())
     if soup.select_one("#workskin") is None:
         return None
     meta = {k: "" for k in META_FIELDS}
