@@ -361,18 +361,35 @@ class SearchEngine:
 
     @staticmethod
     def _flush(items, t_pad_for):
+        """One batch: the device upload buffer is built HERE, once.
+
+        Layout: [stream tokens (t_pad) | span starts (nspans) |
+        span lens (nspans)] — the exact ext array the fused call
+        uploads, so _submit_fused never re-copies the 4MB stream.
+        Unused span slots hold a large sentinel start (keeps the
+        device-side searchsorted monotone) and zero length.
+        """
         tokens = sum(len(tk) for _, tk, _ in items)
-        stream = np.zeros((t_pad_for(tokens),), dtype=np.uint32)
+        t_pad = t_pad_for(tokens)
+        # span-table floor 512: batch-to-batch span counts straddling a
+        # pow2 boundary would compile a second fused variant mid-run
+        # (~90s on a remote-compile tunnel); 512 covers works >= ~512
+        # tokens at any batch size and costs only 4KB of upload
+        nspans = _next_pow2(len(items), 512)
+        ext = np.zeros((t_pad + 2 * nspans,), dtype=np.uint32)
+        ext[t_pad : t_pad + nspans] = 1 << 30
         spans = []
         off = 0
         fresh_total = 0
-        for wid, tk, fresh in items:
+        for j, (wid, tk, fresh) in enumerate(items):
             m = len(tk)
-            stream[off : off + m] = tk.hashes
+            ext[off : off + m] = tk.hashes
+            ext[t_pad + j] = off
+            ext[t_pad + nspans + j] = m
             spans.append((wid, off, m))
             off += m
             fresh_total += max(0, fresh)
-        yield [w for w, _, _ in spans], stream, spans, fresh_total
+        yield [w for w, _, _ in spans], ext, t_pad, spans, fresh_total
 
     # -- search ------------------------------------------------------------
 
@@ -408,16 +425,16 @@ class SearchEngine:
         # default one batch of lookahead: deeper queues measured SLOWER
         # on the axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
         lookahead = max(1, xcfg.lookahead_batches)
-        for wids, stream, spans, fresh in self._batches(items):
+        for wids, ext, t_pad, spans, fresh in self._batches(items):
             stats.num_batches += 1
             stats.num_query_shingles += fresh
             if self._use_fused:
-                pending.append(self._submit_fused(stream, spans, stats))
+                pending.append(self._submit_fused(ext, t_pad, spans, stats))
                 if len(pending) > lookahead:
                     self._process_fused(*pending.pop(0), stats, acc)
                 continue
             t0 = time.perf_counter()
-            stream_dev = jnp.asarray(stream)
+            stream_dev = jnp.asarray(ext[:t_pad])
             out = self._candidates_fn(
                 stream_dev, self._s_emb_padded, self._ns_valid, self._mults,
                 max_out=self._cand_budget,
@@ -491,22 +508,10 @@ class SearchEngine:
             use_pallas=self.use_pallas, interpret=self.interpret,
         )
 
-    def _submit_fused(self, stream, spans, stats: EngineStats):
+    def _submit_fused(self, ext, t_pad, spans, stats: EngineStats):
         t0 = time.perf_counter()
-        # coarse floor: batch-to-batch span counts straddling a pow2
-        # boundary would compile a second fused variant mid-run (~90s
-        # on a remote-compile tunnel); 512 covers works >= ~512 tokens
-        # at any batch size and costs only 4KB of upload
-        nspans = _next_pow2(len(spans), 512)
-        ext = np.empty((stream.shape[0] + 2 * nspans,), dtype=np.uint32)
-        ext[: stream.shape[0]] = stream
-        starts = ext[stream.shape[0] : stream.shape[0] + nspans]
-        lens = ext[stream.shape[0] + nspans :]
-        starts[:] = 1 << 30  # sentinel keeps searchsorted monotone
-        lens[:] = 0
-        starts[: len(spans)] = [off for _, off, _ in spans]
-        lens[: len(spans)] = [m for _, _, m in spans]
-        ext_dev = jnp.asarray(ext)  # ONE upload per batch
+        nspans = (ext.shape[0] - t_pad) // 2
+        ext_dev = jnp.asarray(ext)  # ONE upload per batch (built by _flush)
         out = self._fused_call(
             ext_dev, nspans, self._cand_budget, self._verify_budget
         )

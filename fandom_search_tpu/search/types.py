@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 
 @dataclass(frozen=True)
@@ -16,13 +17,15 @@ class CandidateHit:
     verify_score: float   # normalized local-alignment similarity
 
 
-@dataclass(frozen=True)
-class MatchRow:
+class MatchRow(NamedTuple):
     """One chained match span — a row of the output CSV.
 
     Field set mirrors the reference's reporter (SURVEY.md section 3, "CSV
     reporter": fanwork id, fan span, script line no, speaker, matched
-    text(s), distance/ratio scores).
+    text(s), distance/ratio scores).  A NamedTuple, not a dataclass:
+    construction is C-level, which matters when a large corpus emits
+    hundreds of thousands of rows (a frozen dataclass pays
+    object.__setattr__ twelve times per row).
     """
 
     work_id: str

@@ -162,21 +162,21 @@ def test_stream_buckets_scale_with_content(world):
     n = CFG.shingle.n
     from fandom_search_tpu.data.fast_tokenizer import tokenize_many
 
-    def streams_for(total_tokens):
+    def tpads_for(total_tokens):
         text = " ".join(f"w{i % 97}" for i in range(total_tokens))
         items = sorted(tokenize_many({"w0": text}).items())
-        return [s for _, s, _, _ in eng._batches(items)]
+        return [t for _, _, t, _, _ in eng._batches(items)]
 
     # under one granule -> minimum bucket
-    (s1,) = streams_for(g // 2)
-    assert s1.shape[0] == g + n - 1
+    (t1,) = tpads_for(g // 2)
+    assert t1 == g + n - 1
     # just over a granule -> next pow2 rung
-    (s2,) = streams_for(g + 10)
-    assert s2.shape[0] == 2 * g + n - 1
+    (t2,) = tpads_for(g + 10)
+    assert t2 == 2 * g + n - 1
     # a work at the cap fills exactly one full-cap bucket
     cap = CFG.search.batch_queries
-    (s3,) = streams_for(cap)
-    assert s3.shape[0] == cap + n - 1
+    (t3,) = tpads_for(cap)
+    assert t3 == cap + n - 1
 
 
 def test_bucketed_batches_match_oracle(world):
