@@ -210,6 +210,47 @@ def cmd_index(args) -> int:
     return 0
 
 
+def _run_search(args, cfg, lines, index, works):
+    """Dispatch one search run; returns (rows, stats_dict)."""
+    if args.reference:
+        from fandom_search_tpu.search.reference_pipeline import ReferenceSearch
+
+        ref = ReferenceSearch(lines, cfg)
+        rows, stats = ref.search_works(works)
+        return rows, dataclasses.asdict(stats)
+    if args.oracle:
+        from fandom_search_tpu.search.oracle import search_works_oracle
+
+        rows, stats = search_works_oracle(works, index, cfg)
+        return rows, dataclasses.asdict(stats)
+    if cfg.mesh.num_devices > 1:
+        from fandom_search_tpu.parallel.sharded import ShardedSearchEngine
+
+        eng = ShardedSearchEngine(
+            index, cfg,
+            use_pallas=not args.no_pallas, interpret=args.interpret,
+        )
+    else:
+        from fandom_search_tpu.search.engine import SearchEngine
+
+        eng = SearchEngine(
+            index, cfg,
+            use_pallas=not args.no_pallas, interpret=args.interpret,
+        )
+    if args.lsh:
+        from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
+
+        attach_lsh_prefilter(eng, cfg.lsh)
+    if args.resume_dir:
+        from fandom_search_tpu.search.runner import ResumableRunner
+
+        runner = ResumableRunner(eng, Path(args.resume_dir))
+        rows = runner.run(works)
+        return rows, runner.stats_summary()
+    rows, stats = eng.search_works(works)
+    return rows, dataclasses.asdict(stats)
+
+
 def cmd_search(args) -> int:
     if args.cpu:
         import jax
@@ -253,48 +294,14 @@ def cmd_search(args) -> int:
         profile_ctx.__enter__()
 
     t0 = time.perf_counter()
-    if args.reference:
-        from fandom_search_tpu.search.reference_pipeline import ReferenceSearch
-
-        ref = ReferenceSearch(lines, cfg)
-        rows, stats = ref.search_works(works)
-        stats_d = dataclasses.asdict(stats)
-    elif args.oracle:
-        from fandom_search_tpu.search.oracle import search_works_oracle
-
-        rows, stats = search_works_oracle(works, index, cfg)
-        stats_d = dataclasses.asdict(stats)
-    else:
-        if cfg.mesh.num_devices > 1:
-            from fandom_search_tpu.parallel.sharded import ShardedSearchEngine
-
-            eng = ShardedSearchEngine(
-                index, cfg,
-                use_pallas=not args.no_pallas, interpret=args.interpret,
-            )
-        else:
-            from fandom_search_tpu.search.engine import SearchEngine
-
-            eng = SearchEngine(
-                index, cfg,
-                use_pallas=not args.no_pallas, interpret=args.interpret,
-            )
-        if args.lsh:
-            from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
-
-            attach_lsh_prefilter(eng, cfg.lsh)
-        if args.resume_dir:
-            from fandom_search_tpu.search.runner import ResumableRunner
-
-            runner = ResumableRunner(eng, Path(args.resume_dir))
-            rows = runner.run(works)
-            stats_d = runner.stats_summary()
-        else:
-            rows, stats = eng.search_works(works)
-            stats_d = dataclasses.asdict(stats)
+    try:
+        rows, stats_d = _run_search(args, cfg, lines, index, works)
+    finally:
+        # close the profiler even on failure/interrupt, so the one run
+        # being profiled still leaves a usable trace
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
     t_search = time.perf_counter() - t0
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
 
     out = Path(args.out)
     if args.parquet:
@@ -315,11 +322,21 @@ def cmd_search(args) -> int:
         or stats_d.get("query_shingles", 0)  # ResumableRunner summary key
         or 0
     )
-    if qs and t_search > 0:
+    # Resumed runs: qs sums ALL units (incl. ones restored from disk in
+    # milliseconds), so divide by the manifest's all-time compute
+    # seconds, not this invocation's wall-clock — otherwise a fully-
+    # resumed run reports an absurd throughput for zero pairs scored.
+    rate_seconds = (
+        stats_d.get("seconds") if stats_d.get("resumable") else t_search
+    )
+    if qs and rate_seconds:
         manifest["shingle_pairs_per_sec"] = round(
-            qs * index.num_shingles / t_search
+            qs * index.num_shingles / rate_seconds
         )
-    if args.selfcheck and not args.oracle:
+    if args.selfcheck and not (args.oracle or args.reference):
+        # (--reference has deliberately different verifier semantics —
+        # comparing its rows to the oracle would report a bogus recall
+        # failure)
         # recall-vs-oracle observability: replay a sample through the
         # NumPy golden pipeline and compare row sets
         from fandom_search_tpu.search.oracle import search_works_oracle

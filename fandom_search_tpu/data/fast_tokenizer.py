@@ -38,8 +38,15 @@ def _native_dir() -> Path:
     return Path(__file__).resolve().parent.parent / "native"
 
 
-def _build_dir() -> Path:
-    """Build output dir: next to the source if writable, else a cache."""
+def _build_dir() -> Optional[Path]:
+    """Build output dir: next to the source if writable, else a cache.
+
+    The fallback is PER-USER and mode-0700-owned: a fixed world-
+    writable /tmp path would let another local user pre-plant a
+    malicious .so that ctypes would happily load.  If a non-owned
+    directory squats the path, give up (Python tokenizer fallback)
+    rather than load anything from it.
+    """
     build = _native_dir() / "build"
     try:
         build.mkdir(exist_ok=True)
@@ -47,8 +54,16 @@ def _build_dir() -> Path:
     except OSError:  # installed read-only (site-packages)
         import tempfile
 
-        build = Path(tempfile.gettempdir()) / "fandom_search_tpu_native"
-        build.mkdir(parents=True, exist_ok=True)
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        build = Path(tempfile.gettempdir()) / f"fandom_search_tpu_native_{uid}"
+        build.mkdir(parents=True, exist_ok=True, mode=0o700)
+        st = build.stat()
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            log.warning(
+                "native build cache %s is not owned by this user; "
+                "using Python tokenizer", build,
+            )
+            return None
         return build
 
 
@@ -57,13 +72,19 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if not src.exists():
         return None
     build = _build_dir()
+    if build is None:
+        return None
     so = build / f"libfastingest_v{_ABI_VERSION}.so"
     if not so.exists():
+        # unique temp name: concurrent first-use builds from several
+        # processes must not interleave writes into one .tmp — each
+        # compiles to its own file and the atomic replace races benignly
+        tmp = build / f".libfastingest_v{_ABI_VERSION}.{os.getpid()}.tmp"
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", str(so) + ".tmp", str(src)]
+               "-o", str(tmp), str(src)]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(str(so) + ".tmp", so)
+            os.replace(tmp, so)
         except Exception as e:  # noqa: BLE001 — fall back to Python
             log.warning("native build failed (%s); using Python tokenizer", e)
             return None

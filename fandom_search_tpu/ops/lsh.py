@@ -398,6 +398,13 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
     """Swap a SearchEngine's candidate stage for the LSH pipeline."""
     from fandom_search_tpu.data.shingler import embed_shingles
 
+    if engine.cfg.search.k > cfg.rerank:
+        raise ValueError(
+            f"k ({engine.cfg.search.k}) cannot exceed the LSH rerank "
+            f"width ({cfg.rerank}): stage 2 re-scores only rerank "
+            f"candidates per query — raise rerank or lower --k"
+        )
+
     lsh = LSHIndex.build(
         engine.index.embeddings, cfg, engine.cfg.shingle,
         pad_multiple=engine.cfg.search.script_pad_multiple,

@@ -46,6 +46,21 @@ class ScrapeConfig:
 FetchFn = Callable[[str], str]  # url -> html (raises on HTTP error)
 
 
+def _parse_retry_after(value: str) -> float:
+    """Retry-After per RFC 7231: delta-seconds OR an HTTP-date."""
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return max(0.0, dt.timestamp() - time.time())
+    except Exception:  # noqa: BLE001 — malformed header: default backoff
+        return 60.0
+
+
 def default_fetch(url: str) -> str:
     import requests
 
@@ -55,7 +70,7 @@ def default_fetch(url: str) -> str:
         timeout=60,
     )
     if resp.status_code == 429:
-        retry = float(resp.headers.get("Retry-After", "60"))
+        retry = _parse_retry_after(resp.headers.get("Retry-After", "60"))
         raise RateLimited(retry)
     resp.raise_for_status()
     return resp.text
@@ -98,17 +113,25 @@ def parse_work_ids(listing_html: str) -> list[str]:
     return seen
 
 
-def _fetch_with_retries(fetch: FetchFn, url: str, cfg: ScrapeConfig) -> Optional[str]:
+def _fetch_with_retries(
+    fetch: FetchFn,
+    url: str,
+    cfg: ScrapeConfig,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Optional[str]:
+    # ``sleep`` is injected all the way down (not just in scrape_tag)
+    # so fixture-driven tests of the retry/backoff paths never really
+    # sleep, honoring the module's zero-live-traffic test contract.
     for attempt in range(cfg.max_retries):
         try:
             return fetch(url)
         except RateLimited as e:
             wait = max(e.retry_after, cfg.backoff_seconds * (attempt + 1))
             log.warning("429 on %s; sleeping %.0fs", url, wait)
-            time.sleep(wait)
+            sleep(wait)
         except Exception as e:  # noqa: BLE001 — skip-and-continue by design
             log.warning("fetch failed (%s) on %s [attempt %d]", e, url, attempt + 1)
-            time.sleep(cfg.delay_seconds * (attempt + 1))
+            sleep(cfg.delay_seconds * (attempt + 1))
     return None
 
 
@@ -121,7 +144,9 @@ def scrape_tag(
     cfg.out_dir.mkdir(parents=True, exist_ok=True)
     page = cfg.start_page
     while cfg.end_page is None or page <= cfg.end_page:
-        listing = _fetch_with_retries(fetch, tag_search_url(cfg.tag, page), cfg)
+        listing = _fetch_with_retries(
+            fetch, tag_search_url(cfg.tag, page), cfg, sleep
+        )
         if listing is None:
             log.error("giving up on page %d", page)
             break
@@ -135,7 +160,7 @@ def scrape_tag(
                 log.debug("skip existing %s", wid)
                 continue
             sleep(cfg.delay_seconds)
-            html = _fetch_with_retries(fetch, work_url(wid), cfg)
+            html = _fetch_with_retries(fetch, work_url(wid), cfg, sleep)
             if html is None:
                 continue
             tmp = out.with_suffix(".html.tmp")

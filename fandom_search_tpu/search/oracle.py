@@ -46,6 +46,7 @@ def topk_scores_np(
     k: int,
     dim: int,
     block: int = 4096,
+    index_t: np.ndarray | None = None,  # f32 [dim, NS] — precomputed .T
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact per-query top-k of dot/dim scores. Returns (vals, idx).
 
@@ -61,7 +62,12 @@ def topk_scores_np(
         return vals, idxs
     # f32 matmul runs on BLAS and is exact here: |dot| <= n^2 * dim
     # (4608 at defaults) is far below f32's 2^24 integer range.
-    st = index_emb.astype(np.float32).T
+    # Callers looping over many query batches pass index_t once
+    # (the conversion is ~50MB of work per call on a large index).
+    st = (
+        index_t if index_t is not None
+        else index_emb.astype(np.float32).T
+    )
     for q0 in range(0, nq, block):
         q1 = min(nq, q0 + block)
         b = q1 - q0
@@ -106,6 +112,7 @@ def search_works_oracle(
     }
 
     hits: List[CandidateHit] = []
+    index_t = index.embeddings.astype(np.float32).T  # once, not per work
     for wid, tk in sorted(tokenized.items()):
         nq = max(0, len(tk) - scfg.n + 1)
         if nq == 0 or index.num_shingles == 0:
@@ -114,7 +121,9 @@ def search_works_oracle(
         emb = embed_shingles_np(tk.hashes, scfg)
 
         t0 = time.perf_counter()
-        vals, idxs = topk_scores_np(emb, index.embeddings, xcfg.k, scfg.dim)
+        vals, idxs = topk_scores_np(
+            emb, index.embeddings, xcfg.k, scfg.dim, index_t=index_t
+        )
         stats.seconds_topk += time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -52,10 +52,25 @@ class ResumableRunner:
         for i, unit in enumerate(units):
             unit_id = f"{i:05d}"
             rec = self.manifest["units"].get(unit_id)
-            if rec and rec.get("done") and self._unit_path(unit_id).exists():
+            # A unit only resumes if it covered EXACTLY these work ids:
+            # unit membership is positional over sorted(works), so a
+            # grown/shrunk corpus shifts boundaries and stale unit CSVs
+            # would silently miss new works / duplicate shifted ones.
+            ids_hash = _ids_hash(unit)
+            if (
+                rec
+                and rec.get("done")
+                and rec.get("ids_hash") == ids_hash
+                and self._unit_path(unit_id).exists()
+            ):
                 log.info("unit %s already complete; skipping", unit_id)
                 all_rows.extend(_read_unit(self._unit_path(unit_id)))
                 continue
+            if rec and rec.get("done") and rec.get("ids_hash") != ids_hash:
+                log.info(
+                    "unit %s membership changed (corpus grew or shrank); "
+                    "recomputing", unit_id,
+                )
             t0 = time.perf_counter()
             rows, stats = self.engine.search_works(
                 {w: works[w] for w in unit}
@@ -65,6 +80,7 @@ class ResumableRunner:
             tmp.rename(self._unit_path(unit_id))  # atomic completion
             self.manifest["units"][unit_id] = {
                 "done": True,
+                "ids_hash": ids_hash,
                 "works": len(unit),
                 "rows": len(rows),
                 "seconds": round(time.perf_counter() - t0, 3),
@@ -97,6 +113,12 @@ class ResumableRunner:
         tmp = self.manifest_path.with_suffix(".json.tmp")
         tmp.write_text(json.dumps(self.manifest, indent=1), encoding="utf-8")
         tmp.rename(self.manifest_path)
+
+
+def _ids_hash(unit: Sequence[str]) -> str:
+    import hashlib
+
+    return hashlib.sha1("\x00".join(unit).encode("utf-8")).hexdigest()[:16]
 
 
 def _read_unit(path: Path) -> List[MatchRow]:

@@ -122,6 +122,43 @@ def test_resumable_runner_sharded(tmp_path, world):
     )
 
 
+def test_resumable_runner_detects_corpus_change(tmp_path, world):
+    """Adding works shifts unit membership: stale units must recompute,
+    never silently skip the new works (round-2 review finding)."""
+    index, works, planted = world
+    eng = SearchEngine(index, CFG, use_pallas=False)
+    out = tmp_path / "run_grow"
+    some = dict(list(sorted(works.items()))[:6])
+    ResumableRunner(eng, out, unit_size=3).run(some)
+
+    # grow the corpus with an id that sorts INTO the first unit
+    grown = dict(some)
+    first_id = sorted(some)[0]
+    grown["a_" + first_id] = some[first_id]
+    rows = ResumableRunner(eng, out, unit_size=3).run(grown)
+    direct, _ = eng.search_works(grown)
+    assert sorted(r.to_csv_row() for r in rows) == sorted(
+        r.to_csv_row() for r in direct
+    )
+
+
+def test_retry_after_http_date():
+    import time as _time
+
+    from fandom_search_tpu.scrape.ao3 import _parse_retry_after
+
+    assert _parse_retry_after("120") == 120.0
+    assert _parse_retry_after("0") == 0.0
+    # HTTP-date form ~90s in the future
+    from email.utils import format_datetime
+    from datetime import datetime, timedelta, timezone
+
+    future = datetime.now(timezone.utc) + timedelta(seconds=90)
+    got = _parse_retry_after(format_datetime(future, usegmt=True))
+    assert 80 <= got <= 95
+    assert _parse_retry_after("garbage") == 60.0
+
+
 def test_stage_timer():
     t = StageTimer()
     with t("a"):
