@@ -235,6 +235,71 @@ def test_giant_work_split_exact_oracle_parity(world):
     ]
 
 
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_engine_fuzz_parity(seed):
+    """Randomized corpora: engine rows == oracle rows, exactly.
+
+    Varies vocab size (hash-collision density), work/line lengths,
+    edit noise, and batch size across seeds — insurance against rare
+    tie-break and boundary interactions the targeted tests miss.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = make_vocab(rng, int(rng.integers(50, 2000)))
+    lines = parse_script(make_script(
+        rng, vocab, num_lines=int(rng.integers(5, 40)),
+        words_per_line=(3, 20),
+    ))
+    cfg = dataclasses.replace(
+        CFG, search=dataclasses.replace(
+            CFG.search,
+            batch_queries=int(rng.choice([512, 1024, 4096])),
+            k=int(rng.choice([3, 10])),
+        )
+    )
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    works, _ = make_corpus_with_quotes(
+        rng, [ln.text for ln in lines],
+        num_works=int(rng.integers(3, 12)),
+        words_per_work=int(rng.integers(30, 600)),
+        quotes_per_work=int(rng.integers(1, 4)),
+        num_edits=int(rng.integers(0, 3)),
+        vocab=vocab,
+    )
+    eng = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    rows, _ = eng.search_works(works)
+    oracle_rows, _ = search_works_oracle(works, index, cfg)
+    assert sorted(r.to_csv_row() for r in rows) == sorted(
+        r.to_csv_row() for r in oracle_rows
+    ), f"seed {seed} diverged"
+
+
+def test_repeated_word_lines_parity():
+    """Lines of one repeated word drive |score| toward its n^2 bound
+    (embedding entries stack to +-n): the packed top-k selection and
+    packed dedup sort must stay exact in this regime."""
+    rng = np.random.default_rng(55)
+    vocab = make_vocab(rng, 200)
+    script_text = (
+        f"ECHO: {' '.join(['drum'] * 12)}\n"
+        f"ALICE: {' '.join(vocab[:9])}\n"
+        f"ECHO: {' '.join(['drum'] * 8)} {' '.join(vocab[10:14])}\n"
+    )
+    lines = parse_script(script_text)
+    index = build_script_index(lines, CFG.shingle, CFG.search)
+    filler = " ".join(vocab[i] for i in rng.integers(0, len(vocab), 120))
+    works = {
+        "w0": filler + " " + " ".join(["drum"] * 12) + " " + filler,
+        "w1": " ".join(["drum"] * 30),
+    }
+    eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    rows, _ = eng.search_works(works)
+    oracle_rows, _ = search_works_oracle(works, index, CFG)
+    assert sorted(r.to_csv_row() for r in rows) == sorted(
+        r.to_csv_row() for r in oracle_rows
+    )
+    assert any(r.work_id == "w0" for r in rows)
+
+
 def test_long_line_tail_quote_verifies():
     # A 200-token script line: a quote of its TAIL must still verify
     # (round 1 truncated lines to max_line_tokens=64, so tail quotes of
