@@ -393,6 +393,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native text-reuse search (fandom-search capabilities)",
     )
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--version", action="version", version=_version())
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("scrape", help="download an AO3 tag's works")
@@ -450,6 +451,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="kernel-only regression check vs bench_expected.json")
     bp.set_defaults(fn=cmd_bench)
     return p
+
+
+def _version() -> str:
+    try:
+        from importlib.metadata import version
+
+        return version("fandom-search-tpu")
+    except Exception:  # noqa: BLE001 — uninstalled checkout
+        return "0.3.0 (source checkout)"
 
 
 def main(argv=None) -> int:
