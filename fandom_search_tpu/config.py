@@ -79,8 +79,10 @@ class SearchConfig:
     # cross the PCIe/host boundary, not the full [NQ, k] top-k tables
     max_candidates_per_batch: int = 1 << 16
     # batches submitted to the device ahead of result consumption;
-    # 1 = double-buffering.  Deeper queues measured SLOWER on a
-    # high-latency tunnel (queued uploads serialize), but may help on
+    # 1 = double-buffering.  Deeper queues measured MUCH slower on a
+    # high-latency tunnel (interleaved A/B at 10k works / 2^20
+    # batches: depth 1 -> 5.9s, depth 2 -> 55s, depth 3 -> 45s —
+    # multiple queued 4MB uploads amplify stall phases); may differ on
     # directly-attached hosts.
     lookahead_batches: int = 1
     # Smith-Waterman scoring (word-level local alignment)
