@@ -110,6 +110,48 @@ def test_cli_end_to_end(tmp_path):
     assert recs[3]["speaker"] != ""
 
 
+def test_cli_clean_and_getmeta(tmp_path):
+    """clean + getmeta verbs through the real CLI on fixture HTML."""
+    from tests.fixtures import work_page
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "111.html").write_text(
+        work_page("111", "First", "alice", ["hello world " * 20]),
+        encoding="utf-8",
+    )
+    (raw / "222.html").write_text(
+        work_page("222", "Second", "bob", ["more text here " * 15]),
+        encoding="utf-8",
+    )
+    (raw / "333.html").write_text("<html><body>error page</body></html>",
+                                  encoding="utf-8")
+
+    env_cmd = [sys.executable, "-m", "fandom_search_tpu"]
+    corpus = tmp_path / "corpus"
+    r = subprocess.run(
+        env_cmd + ["clean", str(raw), "-o", str(corpus)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    kept = sorted(p.stem for p in corpus.glob("*.txt"))
+    assert kept == ["111", "222"]  # broken page dropped
+    assert "hello world" in (corpus / "111.txt").read_text()
+    assert "Summary text to strip" not in (corpus / "111.txt").read_text()
+
+    meta_csv = tmp_path / "meta.csv"
+    r = subprocess.run(
+        env_cmd + ["getmeta", str(raw), "-o", str(meta_csv)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    recs = {m["work_id"]: m for m in csv.DictReader(meta_csv.open())}
+    assert set(recs) == {"111", "222"}
+    assert recs["111"]["author"] == "alice"
+    assert recs["222"]["title"] == "Second"
+    assert recs["111"]["kudos"] == "42"
+
+
 def test_parquet_round_trip(tmp_path):
     import pandas as pd
 
