@@ -14,7 +14,7 @@ SURVEY.md section 8 "Integer hashing on-device").  The identical function runs:
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 

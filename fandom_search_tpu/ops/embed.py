@@ -28,7 +28,6 @@ replaces the reference's word-hash vectorizer (SURVEY.md section 3
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
