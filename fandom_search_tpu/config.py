@@ -75,9 +75,13 @@ class SearchConfig:
     batch_queries: int = 1 << 20
     script_pad_multiple: int = 2048  # script shingles padded to multiple
     # device->host candidate budget per batch: candidates are threshold-
-    # compacted ON DEVICE (jnp.nonzero with static size) so only hits
-    # cross the PCIe/host boundary, not the full [NQ, k] top-k tables
-    max_candidates_per_batch: int = 1 << 16
+    # compacted ON DEVICE (static-size scatter selection) so only hits
+    # cross the PCIe/host boundary, not the full [NQ, k] top-k tables.
+    # The dedup sort and slot scans cost proportionally to this STATIC
+    # size (the 2^16 default measured ~8ms/batch of sort alone at 2^20
+    # queries), so it starts small; overflow triggers the pow2-sticky
+    # budget retry (one recompile per growth, settled during warmup).
+    max_candidates_per_batch: int = 1 << 14
     # batches submitted to the device ahead of result consumption;
     # 1 = double-buffering.  Deeper queues measured MUCH slower on a
     # high-latency tunnel (interleaved A/B at 10k works / 2^20

@@ -270,11 +270,18 @@ class SearchEngine:
 
     @property
     def _s_emb_padded(self):
-        """Device copy of the padded script matrix, materialized lazily."""
+        """Device copy of the padded script matrix, materialized lazily.
+
+        Never caches a tracer: if the first access happens inside a jit
+        trace, the value is returned as a (constant) traced array but
+        NOT stored — caching it would permanently poison the engine
+        with an escaped tracer.
+        """
         if self._s_emb_dev is None:
-            self._s_emb_dev = jax.device_put(
-                jnp.asarray(self._s_emb_padded_host)
-            )
+            dev = jax.device_put(jnp.asarray(self._s_emb_padded_host))
+            if isinstance(dev, jax.core.Tracer):
+                return dev
+            self._s_emb_dev = dev
         return self._s_emb_dev
 
     # -- batching ----------------------------------------------------------
