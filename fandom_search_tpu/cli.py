@@ -65,9 +65,37 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
                         "(e.g. 4x2)")
     p.add_argument("--lsh", action="store_true",
                    help="use the LSH prefilter for candidate generation")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host JAX cluster "
+                        "(jax.distributed.initialize) before building the "
+                        "mesh; coordinator/process env come from the "
+                        "standard JAX env vars or TPU metadata")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host coordinator address (with --multihost)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host process count (with --multihost)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's rank (with --multihost)")
     p.add_argument("--selfcheck", type=int, default=0, metavar="N",
                    help="re-run N sample works through the NumPy oracle "
                         "and report row agreement in the manifest")
+
+
+def _maybe_multihost(args) -> None:
+    """Join a multi-host cluster if requested; must precede any other
+    jax call (so call it before enable_persistent_cache and the first
+    device query).  After it, jax.devices() is the GLOBAL device list
+    and make_mesh needs nothing special (parallel/mesh.py)."""
+    if getattr(args, "multihost", False):
+        from fandom_search_tpu.parallel.mesh import initialize_multihost
+
+        n = initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"multihost: joined cluster, {n} global devices",
+              file=sys.stderr)
 
 
 def _mesh_from_args(args) -> "MeshConfig | None":
@@ -194,6 +222,7 @@ def cmd_index(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    _maybe_multihost(args)
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -205,6 +234,16 @@ def cmd_index(args) -> int:
     lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
     index = build_script_index(lines, cfg.shingle, cfg.search)
     save_index(index, cfg, Path(args.out))
+    if args.lsh:
+        from fandom_search_tpu.ops.lsh import LSHIndex
+        from fandom_search_tpu.search.persist import save_lsh
+
+        lsh = LSHIndex.build(
+            index.embeddings, cfg.lsh, cfg.shingle,
+            pad_multiple=cfg.search.script_pad_multiple,
+        )
+        save_lsh(Path(args.out), lsh, cfg.lsh)
+        print(f"saved LSH codes ({cfg.lsh.bits} bits)", file=sys.stderr)
     print(f"indexed {len(lines)} lines -> {index.num_shingles} shingles "
           f"at {args.out}", file=sys.stderr)
     return 0
@@ -223,24 +262,37 @@ def _run_search(args, cfg, lines, index, works):
 
         rows, stats = search_works_oracle(works, index, cfg)
         return rows, dataclasses.asdict(stats)
+    import jax
+
+    # Pallas kernels only run in interpret mode on the CPU backend;
+    # auto-set it so `--cpu` works without also demanding --interpret
+    # (same auto-detection bench.py performs).
+    interpret = args.interpret or (
+        not args.no_pallas and jax.devices()[0].platform == "cpu"
+    )
     if cfg.mesh.num_devices > 1:
         from fandom_search_tpu.parallel.sharded import ShardedSearchEngine
 
         eng = ShardedSearchEngine(
             index, cfg,
-            use_pallas=not args.no_pallas, interpret=args.interpret,
+            use_pallas=not args.no_pallas, interpret=interpret,
         )
     else:
         from fandom_search_tpu.search.engine import SearchEngine
 
         eng = SearchEngine(
             index, cfg,
-            use_pallas=not args.no_pallas, interpret=args.interpret,
+            use_pallas=not args.no_pallas, interpret=interpret,
         )
     if args.lsh:
         from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
 
-        attach_lsh_prefilter(eng, cfg.lsh)
+        prebuilt = None
+        if args.index:
+            from fandom_search_tpu.search.persist import load_lsh
+
+            prebuilt = load_lsh(Path(args.index), cfg.lsh)
+        attach_lsh_prefilter(eng, cfg.lsh, lsh=prebuilt)
     if args.resume_dir:
         from fandom_search_tpu.search.runner import ResumableRunner
 
@@ -256,6 +308,7 @@ def cmd_search(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    _maybe_multihost(args)
     # Amortize per-bucket jit compiles across CLI invocations (the
     # remote-compile tunnel makes cold compiles expensive).
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
@@ -459,7 +512,17 @@ def _version() -> str:
 
         return version("fandom-search-tpu")
     except Exception:  # noqa: BLE001 — uninstalled checkout
-        return "0.3.0 (source checkout)"
+        try:
+            import tomllib
+
+            pyproject = (
+                Path(__file__).resolve().parent.parent / "pyproject.toml"
+            )
+            with open(pyproject, "rb") as f:
+                v = tomllib.load(f)["project"]["version"]
+            return f"{v} (source checkout)"
+        except Exception:  # noqa: BLE001
+            return "unknown (source checkout)"
 
 
 def main(argv=None) -> int:

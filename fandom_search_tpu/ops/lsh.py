@@ -44,6 +44,11 @@ from fandom_search_tpu.config import LSHConfig, ShingleConfig
 from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows
 
 
+def _round_up_pad(n: int, multiple: int) -> int:
+    """Padded row count pad_rows() would produce for n rows."""
+    return max(multiple, -(-n // multiple) * multiple)
+
+
 def popcount32(v):
     """SWAR popcount for uint32 arrays; works in NumPy, XLA, and Mosaic."""
     v = v - ((v >> 1) & 0x55555555)
@@ -394,8 +399,13 @@ def lsh_topk(
     return vals[:nq], idx[:nq]
 
 
-def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
-    """Swap a SearchEngine's candidate stage for the LSH pipeline."""
+def attach_lsh_prefilter(engine, cfg: LSHConfig, lsh: "LSHIndex" = None) -> None:
+    """Swap a SearchEngine's candidate stage for the LSH pipeline.
+
+    ``lsh`` may be a prebuilt (e.g. persisted — search/persist.py
+    save_lsh/load_lsh) index; it must match the engine's script index
+    and pad multiple, which is validated cheaply by shape.
+    """
     from fandom_search_tpu.data.shingler import embed_shingles
 
     if engine.cfg.search.k > cfg.rerank:
@@ -405,10 +415,31 @@ def attach_lsh_prefilter(engine, cfg: LSHConfig) -> None:
             f"candidates per query — raise rerank or lower --k"
         )
 
-    lsh = LSHIndex.build(
-        engine.index.embeddings, cfg, engine.cfg.shingle,
-        pad_multiple=engine.cfg.search.script_pad_multiple,
-    )
+    if lsh is not None:
+        ns_pad = _round_up_pad(
+            engine.index.num_shingles, engine.cfg.search.script_pad_multiple
+        )
+        if (
+            int(lsh.ns_valid) != engine.index.num_shingles
+            or lsh.codes_t.shape != (cfg.bits // 32, ns_pad)
+        ):
+            raise ValueError(
+                "persisted LSH index does not match the script index "
+                f"(codes {tuple(lsh.codes_t.shape)}, ns_valid {lsh.ns_valid} "
+                f"vs expected ({cfg.bits // 32}, {ns_pad}), "
+                f"{engine.index.num_shingles}) — rebuild with "
+                "`fandomsearch index --lsh`"
+            )
+        lsh = LSHIndex(
+            projection=jax.device_put(jnp.asarray(lsh.projection)),
+            codes_t=jax.device_put(jnp.asarray(lsh.codes_t)),
+            ns_valid=int(lsh.ns_valid),
+        )
+    else:
+        lsh = LSHIndex.build(
+            engine.index.embeddings, cfg, engine.cfg.shingle,
+            pad_multiple=engine.cfg.search.script_pad_multiple,
+        )
     engine.lsh = lsh
     scfg = engine.cfg.shingle
     xcfg = engine.cfg.search

@@ -26,6 +26,51 @@ from fandom_search_tpu.config import MeshConfig
 AXIS_WORKS = "works"
 AXIS_SCRIPT = "script"
 
+_multihost_initialized = False
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Join a multi-host JAX cluster (SURVEY.md §3: ICI within a slice,
+    DCN across slices).
+
+    Must run before any other jax call in the process.  After it,
+    ``jax.devices()`` returns the GLOBAL device list — every host sees
+    all chips of the slice/pod — so ``make_mesh`` (which consumes
+    ``jax.devices()``) needs no changes for multi-host: the identical
+    shard_map code runs, with XLA routing collectives over ICI within a
+    slice and DCN across slices.
+
+    Arguments default to the standard env vars / TPU-metadata
+    autodetection jax.distributed supports (on Cloud TPU all three may
+    be None).  Returns the number of global devices.  Idempotent.
+    """
+    global _multihost_initialized
+    if not _multihost_initialized:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _multihost_initialized = True
+    return len(jax.devices())
+
+
+def mesh_shape_for(n_devices: int, prefer_script: int = 1) -> tuple[int, int]:
+    """(works, script) factorization of a device count.
+
+    The works axis carries the heavy data parallelism, so it takes
+    every device not claimed by ``prefer_script`` (clamped to the
+    largest divisor of ``n_devices`` that is <= prefer_script).
+    """
+    if n_devices < 1:
+        raise ValueError(f"need at least one device, got {n_devices}")
+    script = max(d for d in range(1, prefer_script + 1) if n_devices % d == 0)
+    return n_devices // script, script
+
 
 def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -164,6 +164,7 @@ class ShardedSearchEngine(SearchEngine):
                 mesh_, q_emb, s_emb, ns_valid_shards,
                 xcfg.k, scfg.dim, use_pallas=up, interpret=ip,
                 min_keep=xcfg.candidate_threshold,
+                max_abs_score=scfg.n * scfg.n * scfg.dim,
             )
             return compact_candidates(
                 vals, idx, xcfg.candidate_threshold, ns_true,

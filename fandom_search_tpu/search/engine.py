@@ -563,7 +563,6 @@ class SearchEngine:
             )
         ver_count = int(host[4, 2])
         stats.num_candidates += uniq_count
-        stats.num_verified += ver_count
 
         starts = np.array([off for _, off, _ in spans], dtype=np.int64)
         # (num_query_shingles counted at batch creation, overlap-exact)
@@ -582,6 +581,9 @@ class SearchEngine:
             xcfg.window_tokens, (xcfg.window_tokens - scfg.n) // 2,
         )
         sp_k = span_of[keep]
+        # count AFTER the split-window filter so both engine paths
+        # report post-filter verified hits (the two-stage path does)
+        stats.num_verified += int(keep.sum())
         acc.add(
             span_widx[sp_k], local[keep] + span_fold[sp_k], line[keep],
             score[keep], vscore[keep], span_split[sp_k],

@@ -2,9 +2,10 @@
 
 The reference's only checkpointing is filesystem-as-checkpoint between
 pipeline stages.  Here the device-side index (script shingle embeddings,
-attribution tables, optional LSH codes) persists via orbax-checkpoint,
-and the host-side line records via JSON, so a large corpus can be
-searched repeatedly without re-parsing or re-embedding the script.
+attribution tables, optional LSH codes — ``save_lsh``/``load_lsh``)
+persists via orbax-checkpoint, and the host-side line records via JSON,
+so a large corpus can be searched repeatedly without re-parsing or
+re-embedding the script.
 """
 
 from __future__ import annotations
@@ -95,3 +96,49 @@ def load_index(path: str | Path) -> Tuple[ScriptIndex, PipelineConfig]:
         lsh=LSHConfig(**meta["lsh"]),
     )
     return index, cfg
+
+
+def save_lsh(path: str | Path, lsh, cfg: LSHConfig) -> None:
+    """Persist a built LSHIndex next to the script index.
+
+    Saves the projection matrix and the packed (transposed) sign codes
+    so ``attach_lsh_prefilter`` on a loaded index costs ~nothing and is
+    bit-identical to an in-process build.
+    """
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    arrays = {
+        "projection": np.asarray(lsh.projection),
+        "codes_t": np.asarray(lsh.codes_t),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path / "lsh_arrays", arrays, force=True)
+    meta = {
+        "ns_valid": int(lsh.ns_valid),
+        "lsh": dataclasses.asdict(cfg),
+    }
+    (path / "lsh_meta.json").write_text(json.dumps(meta), encoding="utf-8")
+
+
+def load_lsh(path: str | Path, cfg: LSHConfig):
+    """Load a persisted LSHIndex; None if absent or config-mismatched
+    (a mismatch means the caller wants different bits/seed — rebuild)."""
+    import orbax.checkpoint as ocp
+
+    from fandom_search_tpu.ops.lsh import LSHIndex
+
+    path = Path(path).resolve()
+    meta_path = path / "lsh_meta.json"
+    if not meta_path.exists():
+        return None
+    meta = json.loads(meta_path.read_text(encoding="utf-8"))
+    if meta.get("lsh") != dataclasses.asdict(cfg):
+        return None
+    ckptr = ocp.PyTreeCheckpointer()
+    arrays = ckptr.restore(path / "lsh_arrays")
+    return LSHIndex(
+        projection=np.asarray(arrays["projection"]).astype(np.int8),
+        codes_t=np.asarray(arrays["codes_t"]).astype(np.uint32),
+        ns_valid=int(meta["ns_valid"]),
+    )

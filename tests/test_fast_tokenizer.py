@@ -83,3 +83,39 @@ def test_lone_surrogate_falls_back():
     ref = tokenize(s)
     assert out.tokens == ref.tokens
     assert (out.hashes == ref.hashes).all()
+
+
+def test_fuzz_unicode_codepoint_classes(rng):
+    """Randomized parity over adversarial codepoint classes: astral
+    plane, length-changing lowercase (U+0130, U+212A, U+1E9E),
+    combining marks, zero-width/control chars, CJK, fullwidth forms
+    (round-1 review item #9)."""
+    classes = [
+        list("abcz09'"),                                   # token chars
+        list(" .,!-\n\t\r\"(){}"),                         # separators
+        list("éñüÉÑÜßàø"),                                  # latin-1 letters
+        ["İ", "K", "ẞ", "ı", "I", "İ"],  # casing edges
+        list("😀🎉🚀💯") + ["\U0001d518", "\U0001d4d0", "\U00010400"],  # astral
+        list("日本語漢字한국어"),                             # CJK
+        ["́", "̈", "ำ"],                     # combining marks
+        ["​", "﻿", "­", "\x00", "\x1b"],     # invisible/ctrl
+        list("ＡｂｃＺ０９"),                                 # fullwidth
+    ]
+    for _ in range(300):
+        n = int(rng.integers(0, 80))
+        cls_ix = rng.integers(0, len(classes), n)
+        t = "".join(
+            classes[c][int(rng.integers(0, len(classes[c])))] for c in cls_ix
+        )
+        _assert_equal(t)
+
+
+def test_fuzz_malformed_utf8_surrogateescape(rng):
+    """Random byte soup decoded with surrogateescape (how a scraper
+    reads damaged files) must tokenize identically on both paths —
+    the native path falls back on unencodable surrogates."""
+    for _ in range(100):
+        n = int(rng.integers(1, 120))
+        raw = bytes(rng.integers(0, 256, n, dtype=np.uint8).tolist())
+        t = raw.decode("utf-8", errors="surrogateescape")
+        _assert_equal(t)

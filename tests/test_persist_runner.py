@@ -55,6 +55,62 @@ def test_save_load_roundtrip(tmp_path, world):
     assert [r.to_csv_row() for r in r1] == [r.to_csv_row() for r in r2]
 
 
+def test_save_load_lsh_roundtrip(tmp_path, world):
+    """Persisted LSH codes are bit-identical to an in-process build and
+    attach on a loaded index without rebuilding (round-1 Missing #4)."""
+    import dataclasses
+
+    from fandom_search_tpu.ops.lsh import LSHIndex, attach_lsh_prefilter
+    from fandom_search_tpu.search.persist import load_lsh, save_lsh
+
+    index, works, _ = world
+    lcfg = dataclasses.replace(CFG.lsh, bits=256, rerank=128)
+    lsh = LSHIndex.build(
+        index.embeddings, lcfg, CFG.shingle,
+        pad_multiple=CFG.search.script_pad_multiple,
+    )
+    save_index(index, CFG, tmp_path / "idx")
+    save_lsh(tmp_path / "idx", lsh, lcfg)
+
+    loaded = load_lsh(tmp_path / "idx", lcfg)
+    assert loaded is not None
+    np.testing.assert_array_equal(
+        np.asarray(loaded.codes_t), np.asarray(lsh.codes_t)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.projection), np.asarray(lsh.projection)
+    )
+    assert loaded.ns_valid == lsh.ns_valid
+
+    # config mismatch -> None (caller rebuilds)
+    assert load_lsh(
+        tmp_path / "idx", dataclasses.replace(lcfg, bits=512)
+    ) is None
+
+    # attach the persisted index to a loaded engine: identical rows to
+    # an engine whose prefilter was built in-process
+    index2, cfg2 = load_index(tmp_path / "idx")
+    e_fresh = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    attach_lsh_prefilter(e_fresh, lcfg)
+    e_loaded = SearchEngine(index2, cfg2, use_pallas=True, interpret=True)
+    attach_lsh_prefilter(e_loaded, lcfg, lsh=loaded)
+    r1, _ = e_fresh.search_works(works)
+    r2, _ = e_loaded.search_works(works)
+    assert [r.to_csv_row() for r in r1] == [r.to_csv_row() for r in r2]
+
+    # shape-mismatched prebuilt must be rejected, not silently used
+    bad = LSHIndex(
+        projection=np.asarray(loaded.projection),
+        codes_t=np.asarray(loaded.codes_t)[:, :-512],
+        ns_valid=loaded.ns_valid,
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        attach_lsh_prefilter(
+            SearchEngine(index, CFG, use_pallas=True, interpret=True),
+            lcfg, lsh=bad,
+        )
+
+
 def test_resumable_runner(tmp_path, world):
     index, works, planted = world
     eng = SearchEngine(index, CFG, use_pallas=False)

@@ -148,3 +148,59 @@ def test_sharded_engine_with_lsh_prefilter(world):
     key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
     assert {key(r) for r in got} == {key(r) for r in want}
     assert stats.num_verified > 0
+
+
+def test_mesh_shape_for_device_count_math():
+    """Multi-host mesh factorization logic (no real hosts needed)."""
+    from fandom_search_tpu.parallel.mesh import mesh_shape_for
+
+    assert mesh_shape_for(1) == (1, 1)
+    assert mesh_shape_for(8) == (8, 1)
+    assert mesh_shape_for(8, prefer_script=2) == (4, 2)
+    assert mesh_shape_for(8, prefer_script=4) == (2, 4)
+    # prefer_script clamps to the largest divisor <= prefer_script
+    assert mesh_shape_for(6, prefer_script=4) == (2, 3)
+    assert mesh_shape_for(7, prefer_script=4) == (7, 1)
+    # v4-pod-ish sizes
+    assert mesh_shape_for(256, prefer_script=8) == (32, 8)
+    with pytest.raises(ValueError):
+        mesh_shape_for(0)
+
+
+def test_make_mesh_device_count_validation():
+    from fandom_search_tpu.parallel.mesh import AXIS_SCRIPT, AXIS_WORKS
+
+    n = len(jax.devices())
+    if n >= 8:
+        mesh = _mesh(4, 2)
+        assert mesh.shape[AXIS_WORKS] == 4 and mesh.shape[AXIS_SCRIPT] == 2
+    with pytest.raises(ValueError, match="needs"):
+        make_mesh(MeshConfig(works=n + 1, script=1))
+
+
+def test_multihost_cli_flag_wiring():
+    """--multihost exists and routes to initialize_multihost (mocked —
+    there is no second host here)."""
+    from fandom_search_tpu import cli
+    from fandom_search_tpu.parallel import mesh as mesh_mod
+
+    p = cli.build_parser()
+    args = p.parse_args([
+        "search", "works", "script.txt", "-o", "out.csv",
+        "--multihost", "--coordinator", "h:1234",
+        "--num-processes", "2", "--process-id", "0",
+    ])
+    assert args.multihost and args.coordinator == "h:1234"
+
+    called = {}
+    orig = mesh_mod.initialize_multihost
+    mesh_mod.initialize_multihost = lambda **kw: called.update(kw) or 8
+    try:
+        cli._maybe_multihost(args)
+    finally:
+        mesh_mod.initialize_multihost = orig
+    assert called == {
+        "coordinator_address": "h:1234",
+        "num_processes": 2,
+        "process_id": 0,
+    }
