@@ -168,9 +168,13 @@ def main(argv=None) -> int:
     # relayout; measured faster than the row-major contraction too.
     q_dev_t = jnp.asarray(np.ascontiguousarray(q_emb.T))
 
+    from fandom_search_tpu.ops.distance_topk import engine_tiles
+
+    tq_e, ts_e = engine_tiles(nq, s_pad.shape[0])
+
     def run_kernel(min_keep):
         return topk_dot_pallas(
-            q_dev_t, s_pad, ns_valid, k, dim,
+            q_dev_t, s_pad, ns_valid, k, dim, tile_q=tq_e, tile_s=ts_e,
             interpret=interpret, min_keep=min_keep, q_transposed=True,
         )
 
@@ -334,6 +338,115 @@ def main(argv=None) -> int:
     log("note: at this index size the exact MXU kernel outruns the "
         "linear-scan prefilter (see ops/lsh.py docstring)")
 
+    # ---- config #5b: SUB-LINEAR bucketed prefilter ----------------------
+    # Small-index numbers first (where exact brute force should win),
+    # then the large-index regime (BENCH_BIG_NS script shingles, default
+    # 2^20 — a whole-season index) where the bucketed path must beat
+    # the exact kernel wall-clock at thresholded recall >= 0.99
+    # (BASELINE.json:5 "sub-linear"; SURVEY.md §8.7).
+    from fandom_search_tpu.data.shingler import shingle_hashes
+    from fandom_search_tpu.ops.bucketed import (
+        BucketedIndex, bucketed_candidates_flat,
+    )
+    from fandom_search_tpu.ops.distance_topk import engine_tiles
+
+    def measure_bucketed(ns_b, nq_b, tag):
+        r2 = np.random.default_rng(7)
+        s_stream = r2.integers(
+            0, 2**32, size=ns_b + cfg.shingle.n - 1, dtype=np.uint32
+        )
+        q_stream = r2.integers(
+            0, 2**32, size=nq_b + cfg.shingle.n - 1, dtype=np.uint32
+        )
+        for qi in range(0, nq_b, 100):  # ~1% plants, 0-2 mutations
+            si = int(r2.integers(0, ns_b))
+            q_stream[qi : qi + cfg.shingle.n] = s_stream[
+                si : si + cfg.shingle.n
+            ]
+            for p in r2.choice(
+                cfg.shingle.n, size=int(r2.integers(0, 3)), replace=False
+            ):
+                q_stream[qi + p] = r2.integers(0, 2**32, dtype=np.uint32)
+        windows = shingle_hashes(s_stream, cfg.shingle)
+        sb_emb = embed_shingles_np(s_stream, cfg.shingle)
+        qb_emb = embed_shingles_np(q_stream, cfg.shingle)
+        t0 = time.perf_counter()
+        bidx = BucketedIndex.build(windows, cfg.bucketed, cfg.shingle)
+        details[f"{tag}_build_seconds"] = time.perf_counter() - t0
+        details[f"{tag}_overflow_frac"] = bidx.overflow_frac
+        sb_pad, nsv_b = pad_rows(jnp.asarray(sb_emb), 2048)
+        qb_dev = jnp.asarray(qb_emb)
+        qb_t = jnp.asarray(np.ascontiguousarray(qb_emb.T))
+        qs_dev = jnp.asarray(q_stream)
+        smax = cfg.shingle.n * cfg.shingle.n * dim
+        tq_b, ts_b = engine_tiles(nq_b, sb_pad.shape[0])
+        max_out = 1 << 16
+
+        def run_exact():
+            return topk_dot_pallas(
+                qb_t, sb_pad, nsv_b, k, dim, interpret=interpret,
+                tile_q=tq_b, tile_s=ts_b,
+                min_keep=thr, q_transposed=True, max_abs_score=smax,
+            )
+
+        def run_bucketed():
+            # the flat triple path — exactly what the engine runs
+            return bucketed_candidates_flat(
+                qs_dev, qb_dev, bidx.entries, bidx.offsets, sb_pad,
+                n=cfg.shingle.n, cap=cfg.bucketed.cap,
+                num_buckets=bidx.num_buckets, salts=bidx.salts,
+                k=k, dim=dim, threshold=thr, max_out=max_out,
+            )
+
+        # interleaved A/B (tunnel phases)
+        ev = run_exact()
+        _sync(jnp, ev[0])
+        bt = run_bucketed()
+        _sync(jnp, bt[2])
+        best_e = best_b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(jnp, run_exact()[0])
+            best_e = min(best_e, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _sync(jnp, run_bucketed()[2])
+            best_b = min(best_b, time.perf_counter() - t0)
+
+        # thresholded recall: the exact kernel's above-threshold top-k
+        # triples vs the flat path's triples (score multiset per query)
+        evn, ein = np.asarray(ev[0]), np.asarray(ev[1])
+        qpos_b, sid_b, sc_b = (np.asarray(x) for x in bt[:3])
+        got = {}
+        for q, s, v in zip(qpos_b, sid_b, sc_b):
+            if q >= 0:
+                got.setdefault(int(q), []).append(round(float(v) * dim))
+        tot = hit = 0
+        for i in range(nq_b):
+            keepm = evn[i] >= thr
+            if not keepm.any():
+                continue
+            have = got.get(i, [])
+            for v in np.round(evn[i][keepm] * dim):
+                tot += 1
+                if v in have:
+                    have.remove(v)
+                    hit += 1
+        assert int(np.asarray(bt[3])) <= max_out, "bench budget overflow"
+        details[f"{tag}_exact_seconds"] = best_e
+        details[f"{tag}_seconds"] = best_b
+        details[f"{tag}_speedup_vs_exact"] = best_e / best_b
+        details[f"{tag}_thresholded_recall"] = hit / max(1, tot)
+        details[f"{tag}_pairs_per_sec_equiv"] = nq_b * ns_b / best_b
+        log(f"bucketed [{tag}] ns={ns_b}: exact {best_e*1e3:.1f} ms vs "
+            f"bucketed(flat) {best_b*1e3:.1f} ms (x{best_e/best_b:.2f}), "
+            f"thresholded recall {hit/max(1, tot):.4f}, "
+            f"overflow {bidx.overflow_frac:.5f}")
+
+    measure_bucketed(ns, min(nq, 1 << 15), "bucketed_small")
+    big_ns = int(os.environ.get("BENCH_BIG_NS", 1 << 20))
+    if big_ns:
+        measure_bucketed(big_ns, nq, "bucketed_big")
+
     # ---- end-to-end engine vs extrapolated CPU oracle --------------------
     if not os.environ.get("BENCH_SKIP_E2E"):
         from fandom_search_tpu.search.engine import SearchEngine
@@ -417,6 +530,37 @@ def main(argv=None) -> int:
             "e2e_sample_match_parity": len(orows) > 0,
         })
         log(f"e2e speedup vs CPU oracle: x{cpu_e2e_est/e2e_dt:.0f}")
+
+        # ---- config #4 corpus scale: 100k+ works, captured by the
+        # standard bench (BASELINE.json:10).  One timed pass (scale
+        # attestation, not a best-of probe); same script/engine.
+        scale_works = int(os.environ.get("BENCH_SCALE_WORKS", 100000))
+        if scale_works > n_works:
+            from fandom_search_tpu.utils.synthetic import (
+                make_corpus_with_quotes, make_vocab,
+            )
+
+            t0 = time.perf_counter()
+            works_big, _ = make_corpus_with_quotes(
+                rng, [ln.text for ln in lines], num_works=scale_works,
+                words_per_work=2000, quotes_per_work=3,
+                vocab=make_vocab(rng, 5000),
+            )
+            log(f"scale corpus: {scale_works} works built in "
+                f"{time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            rows_big, stats_big = eng.search_works(works_big)
+            dt_big = time.perf_counter() - t0
+            details.update({
+                "scale_works": scale_works,
+                "scale_seconds": dt_big,
+                "scale_query_shingles": stats_big.num_query_shingles,
+                "scale_matches": len(rows_big),
+                "scale_pairs_per_sec": stats_big.shingle_pairs / dt_big,
+            })
+            log(f"scale e2e: {scale_works} works "
+                f"({stats_big.num_query_shingles} shingles) in "
+                f"{dt_big:.1f}s, {len(rows_big)} rows")
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)

@@ -65,6 +65,10 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
                         "(e.g. 4x2)")
     p.add_argument("--lsh", action="store_true",
                    help="use the LSH prefilter for candidate generation")
+    p.add_argument("--bucketed", action="store_true",
+                   help="use the sub-linear bucketed inverted-index "
+                        "prefilter (recommended for very large script "
+                        "indexes, e.g. whole-season search)")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host JAX cluster "
                         "(jax.distributed.initialize) before building the "
@@ -284,6 +288,8 @@ def _run_search(args, cfg, lines, index, works):
             index, cfg,
             use_pallas=not args.no_pallas, interpret=interpret,
         )
+    if args.lsh and args.bucketed:
+        raise SystemExit("error: --lsh and --bucketed are exclusive")
     if args.lsh:
         from fandom_search_tpu.ops.lsh import attach_lsh_prefilter
 
@@ -293,6 +299,10 @@ def _run_search(args, cfg, lines, index, works):
 
             prebuilt = load_lsh(Path(args.index), cfg.lsh)
         attach_lsh_prefilter(eng, cfg.lsh, lsh=prebuilt)
+    if args.bucketed:
+        from fandom_search_tpu.ops.bucketed import attach_bucketed_prefilter
+
+        attach_bucketed_prefilter(eng, cfg.bucketed)
     if args.resume_dir:
         from fandom_search_tpu.search.runner import ResumableRunner
 

@@ -142,6 +142,31 @@ class LSHConfig:
 
 
 @dataclass(frozen=True)
+class BucketedConfig:
+    """Bucketed inverted-index prefilter (ops/bucketed.py) — the
+    SUB-LINEAR candidate path for large script indexes (SURVEY.md §8.7).
+
+    ``cap`` entries are scanned per probed bucket (per-query work is
+    P*cap regardless of index size); ``load_factor`` scales the bucket
+    count (pow2 >= load_factor * NS) so average occupancy stays below
+    1/load_factor and cap overflows are rare.  Defaults: load 1/4 ->
+    P(bucket > 8) ~ Poisson(0.25) tail ~ 1e-10 per bucket on hash-
+    uniform pairs, while P*cap = 48 keeps the rerank gather narrow
+    (the gather is the stage's cost; see scripts/bucketed_probe.py).
+    """
+
+    cap: int = 8
+    load_factor: int = 4
+    seed: int = 0xB0C5
+
+    def __post_init__(self) -> None:
+        if self.cap < 1:
+            raise ValueError("cap must be >= 1")
+        if self.load_factor < 1:
+            raise ValueError("load_factor must be >= 1")
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Multi-chip layout (SURVEY.md section 3 parallelism table).
 
@@ -165,4 +190,7 @@ class PipelineConfig:
     shingle: ShingleConfig = dataclasses.field(default_factory=ShingleConfig)
     search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
     lsh: LSHConfig = dataclasses.field(default_factory=LSHConfig)
+    bucketed: BucketedConfig = dataclasses.field(
+        default_factory=BucketedConfig
+    )
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

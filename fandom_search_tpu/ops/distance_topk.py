@@ -95,6 +95,8 @@ def _topk_kernel(
     vals_ref,      # VMEM [TQ, K] f32 out
     idx_ref,       # VMEM [TQ, K] i32 out
     run_ref,       # VMEM scratch [TQ, K] int32 — packed (score, col)
+    p_ref,         # VMEM scratch [TQ, TS] int32 — masked packed tile
+    flag_ref,      # SMEM scratch (1,) int32 — insert-loop continue flag
     *,
     k: int,
     tile_s: int,
@@ -102,6 +104,7 @@ def _topk_kernel(
     compute: str,
     min_keep: float,
     q_transposed: bool,
+    merge: str,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -162,8 +165,49 @@ def _topk_kernel(
         jnp.logical_and(row_max > kth_score, row_max >= jnp.int32(min_keep))
     )
 
-    @pl.when(can_improve)
-    def _merge():
+    if merge == "rebuild":
+        @pl.when(can_improve)
+        def _merge_rebuild():
+            # k-pass rebuild merge (round-1 baseline, kept for A/B):
+            # max over p and run k times, then concat.  ~6 elementwise
+            # [TQ, TS] ops per pass x k passes.
+            inv_col = (
+                jnp.int32(_COL_MASK - tile_base)
+                - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
+            )
+            p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
+            col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            p = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
+            run = run_ref[:]
+            outs = []
+            for _ in range(k):
+                m = jnp.maximum(
+                    jnp.max(p, axis=1, keepdims=True),
+                    jnp.max(run, axis=1, keepdims=True),
+                )
+                outs.append(m)
+                p = jnp.where(p == m, jnp.int32(_PACK_SENTINEL), p)
+                run = jnp.where(run == m, jnp.int32(_PACK_SENTINEL), run)
+            run_ref[:] = jnp.concatenate(outs, axis=1)
+
+    def _insert_merge():
+        # Insert merge.  The old k-pass rebuild (max over p AND run,
+        # k times, then concat) cost ~6 elementwise [TQ, TS] ops per
+        # pass x k passes — ~5x the tile's own MXU matmul in VPU time,
+        # which made firing tiles dominate the kernel (measured 100 G
+        # pairs/s vs the ~230 G matmul ceiling).  This version extracts
+        # the tile's row-max and INSERTS it into the sorted run buffer
+        # arithmetically:
+        #     new_run = max(run, min(shift_right(run), m))
+        # (exact for a descending sorted buffer: entries above m keep,
+        # m lands at its rank, the rest shift right) — then re-checks
+        # whether ANY row still has an entry that could enter
+        # (> its k-th packed value, >= min_keep) and stops as soon as
+        # not.  Real corpora have ~1 above-threshold entry per firing
+        # tile, so the loop runs ~1.5 iterations instead of k, and the
+        # per-iteration cost is ~2 elementwise [TQ, TS] ops (row-max +
+        # kill) instead of ~6.  The iteration cap k preserves
+        # exactness: at most k entries per row can enter the buffer.
         inv_col = (
             jnp.int32(_COL_MASK - tile_base)
             - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
@@ -171,18 +215,39 @@ def _topk_kernel(
         p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
         # mask padded columns (col >= ns_valid  <=>  inv_col too small)
         col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
-        p = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
-        run = run_ref[:]
-        outs = []
+        p_ref[:] = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
+        flag_ref[0] = jnp.int32(1)
+        top = jnp.full((tq, 1), jnp.int32(2**31 - 1))
+
         for _ in range(k):
-            m = jnp.maximum(
-                jnp.max(p, axis=1, keepdims=True),
-                jnp.max(run, axis=1, keepdims=True),
-            )
-            outs.append(m)
-            p = jnp.where(p == m, jnp.int32(_PACK_SENTINEL), p)
-            run = jnp.where(run == m, jnp.int32(_PACK_SENTINEL), run)
-        run_ref[:] = jnp.concatenate(outs, axis=1)
+            @pl.when(flag_ref[0] == 1)
+            def _iter():
+                m = jnp.max(p_ref[:], axis=1, keepdims=True)  # [TQ, 1]
+                m_score = jax.lax.shift_right_arithmetic(m, _COL_BITS)
+                enter = jnp.logical_and(
+                    m > run_ref[:, k - 1 : k],
+                    m_score >= jnp.int32(min_keep),
+                )
+                go = jnp.any(enter)
+
+                @pl.when(go)
+                def _insert():
+                    run = run_ref[:]
+                    # rows whose max cannot enter insert a sentinel
+                    # no-op instead (min() keeps their buffer intact)
+                    mi = jnp.where(enter, m, jnp.int32(_PACK_SENTINEL))
+                    shifted = jnp.concatenate(
+                        [top, run[:, : k - 1]], axis=1
+                    )
+                    run_ref[:] = jnp.maximum(run, jnp.minimum(shifted, mi))
+                    p_ref[:] = jnp.where(
+                        p_ref[:] == m, jnp.int32(_PACK_SENTINEL), p_ref[:]
+                    )
+
+                flag_ref[0] = go.astype(jnp.int32)
+
+    if merge == "insert":
+        pl.when(can_improve)(_insert_merge)
 
     @pl.when(j == nj - 1)
     def _emit():
@@ -201,7 +266,7 @@ def _topk_kernel(
     jax.jit,
     static_argnames=(
         "k", "dim", "tile_q", "tile_s", "interpret", "compute", "min_keep",
-        "q_transposed", "max_abs_score",
+        "q_transposed", "max_abs_score", "merge",
     ),
 )
 def topk_dot_pallas(
@@ -218,6 +283,7 @@ def topk_dot_pallas(
     min_keep: float = -float("inf"),
     q_transposed: bool = False,
     max_abs_score: int = 4608,
+    merge: str = "insert",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scores + top-k.  ``min_keep`` (in dot/dim units) declares
     that the caller discards scores below it: rows whose results fall
@@ -269,6 +335,7 @@ def topk_dot_pallas(
                 tile_q=tile_q, tile_s=min(tile_s, s_c.shape[0]),
                 interpret=interpret, compute=compute, min_keep=min_keep,
                 q_transposed=q_transposed, max_abs_score=max_abs_score,
+                merge=merge,
             )
             vs.append(v)
             ids.append(i + c0)
@@ -288,7 +355,7 @@ def topk_dot_pallas(
 
     kernel = functools.partial(
         _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim, compute=compute,
-        min_keep=min_keep_i, q_transposed=q_transposed,
+        min_keep=min_keep_i, q_transposed=q_transposed, merge=merge,
     )
     ns_valid_arr = jnp.asarray(ns_valid, dtype=jnp.int32).reshape((1,))
 
@@ -312,6 +379,13 @@ def topk_dot_pallas(
             ],
             scratch_shapes=[
                 pltpu.VMEM((tile_q, k), jnp.int32),
+                # the rebuild merge keeps its packed tile in registers;
+                # only the insert merge needs the [TQ, TS] scratch
+                pltpu.VMEM(
+                    (tile_q, tile_s) if merge == "insert" else (8, 128),
+                    jnp.int32,
+                ),
+                pltpu.SMEM((1,), jnp.int32),
             ],
         ),
         out_shape=[
@@ -326,6 +400,20 @@ def topk_dot_pallas(
         interpret=interpret,
     )(ns_valid_arr, q_emb, s_emb)
     return vals, idx
+
+
+def engine_tiles(nq: int, ns: int) -> Tuple[int, int]:
+    """Best-measured tile shape for the fused kernel (v5e, engine mode).
+
+    Interleaved sweep at 2^17 x 8192 (scripts/tile_sweep.py, 2026-08-17):
+    256x4096 = 109 G pairs/s vs 98 G at the round-1 128x2048 — the
+    insert merge lowered register pressure enough that bigger tiles
+    win (they lost 2.3x under the rebuild merge).  Falls back to the
+    universally-divisible 128x2048 when shapes demand.
+    """
+    tq = 256 if nq % 256 == 0 else 128
+    ts = 4096 if ns % 4096 == 0 else 2048
+    return tq, ts
 
 
 def pad_rows(x: np.ndarray | jax.Array, multiple: int):

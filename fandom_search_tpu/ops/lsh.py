@@ -313,9 +313,17 @@ def rerank_exact(
     cand_ok: jax.Array,   # bool [NQ, R] — stage-1 validity (vals > NEG_INF)
     k: int,
     dim: int,
-    chunk: int = 1024,
+    chunk: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     nq, r = cand_idx.shape
+    if chunk is None:
+        # One gather+einsum when the gathered block fits comfortably
+        # (serialized lax.map chunks at 1024 rows measured latency-
+        # bound: 128 sequential dispatches per 131k-query batch);
+        # otherwise the largest pow2 chunk under ~1 GB.
+        chunk = 1024
+        while chunk < nq and chunk * r * dim < (1 << 30):
+            chunk *= 2
 
     def one(args):
         qe, ci, ok = args                       # [c, D], [c, R], [c, R]

@@ -26,7 +26,7 @@ by three implementations: NumPy (search/verify_np.py), jnp lax.scan
 
 Performance notes (measured on v5e, 2026-08-16): ~2.3-5.7 G cells/s
 at tile_b=256 / B=16384 (the tunnel's device-throughput phases swing
-individual readings; interleaved A/B only).  Four restructurings
+individual readings; interleaved A/B only).  Five restructurings
 tried and rejected: (a) fori_loop carries instead of VMEM scratch
 fail to compile (layout unification of carried tensors, which is why
 scratch is used at all); (b) full static unroll of the 127
@@ -35,7 +35,18 @@ TWO pairs per row (pair A lanes 0-63, pair B lanes 64-127, full
 128-lane vregs) compiles and is exact but measured 0.71x — the
 per-step concat of the two diagonal buffers and doubled masks cost
 more than the halved step count saves; (d) loop unrolling by
-2/4/8 (the ``unroll`` knob): 2 is a wash vs 1, deeper is worse.
+2/4/8 (the ``unroll`` knob): 2 is a wash vs 1, deeper is worse;
+(e) **int16 DP state** (round 2: 2 values per 32-bit VPU lane for 2x
+elementwise throughput; ``state="i16"``) is exact in interpret mode
+(tests) but hits three independent v5e Mosaic walls in sequence:
+"Rotate with non-32-bit data" (worked around with concat-shift),
+"Invalid relayout ... vector<...xi1>" for 32-bit-born masks entering
+16-bit selects (worked around with 16-bit-native masks), "16-bit
+iota not supported by hardware" (worked around with a precomputed
+index plane), and finally "Target does not support this comparison"
+for int16 vector compares — no workaround, because the validity
+masks ARE comparisons.  The path is kept behind ``state="i16"`` for
+future toolchains; f32 remains the default.
 All-padding tiles skip the wavefront via a pl.when gate.  The op
 count per step is already near-minimal (3 lane-rolls + ~10
 elementwise).
@@ -136,6 +147,8 @@ def _sw_kernel(
     b_ref,      # VMEM [TB, LB] uint32
     lena_ref,   # VMEM [TB, 1] int32
     lenb_ref,   # VMEM [TB, 1] int32
+    j16_ref,    # VMEM [TB, LB] int16 — lane indices (i16 path; hardware
+                #   has no 16-bit iota, so the plane arrives as input)
     out_ref,    # VMEM [TB, 1] f32 — normalized score
     hprev_ref,  # VMEM scratch [TB, LB] f32 — H on diagonal d-1
     hpp_ref,    # VMEM scratch [TB, LB] f32 — H on diagonal d-2
@@ -154,15 +167,46 @@ def _sw_kernel(
     w = la + lb
     len_a = lena_ref[:]                                          # [TB, 1]
     len_b = lenb_ref[:]
-    j_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, lb), 1)
-    valid_j = j_ids < len_b
     b_tok = b_ref[:]
-    lane0 = j_ids == 0
-    zero = jnp.asarray(0.0, dtype)
+    zero = jnp.asarray(0.0 if dtype == jnp.float32 else 0, dtype)
 
-    def shift_right_f(x):
-        rolled = pltpu.roll(x, shift=1, axis=1)
-        return jnp.where(lane0, zero, rolled)
+    if dtype == jnp.float32:
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, lb), 1)
+        valid_j = j_ids < len_b
+        lane0 = j_ids == 0
+
+        def shift_right_f(x):
+            rolled = pltpu.roll(x, shift=1, axis=1)
+            return jnp.where(lane0, zero, rolled)
+
+        def diag_valid(d):
+            i_ids = d - j_ids
+            return jnp.logical_and(
+                jnp.logical_and(i_ids >= 0, i_ids < len_a), valid_j
+            )
+    else:
+        # 16-bit state: Mosaic cannot lane-rotate non-32-bit vectors,
+        # but static slice + concat lowers — the round-2 attempt at
+        # halving DP-state traffic (2 int16 per 32-bit VPU lane).
+        # Masks must ALSO be produced from 16-bit comparisons: an i1
+        # vector born in (8,128) 32-bit tiling cannot relayout into a
+        # (16,128) select ("Invalid relayout ... vector<...xi1>"), so
+        # iota/length comparisons run on int16 operands (la+lb <= 127
+        # and lengths fit comfortably).
+        j16 = j16_ref[:]
+        lena16 = len_a.astype(jnp.int16)
+        lenb16 = len_b.astype(jnp.int16)
+        valid_j16 = j16 < lenb16
+        zcol = jnp.zeros((tb, 1), dtype)
+
+        def shift_right_f(x):
+            return jnp.concatenate([zcol, x[:, : lb - 1]], axis=1)
+
+        def diag_valid(d):
+            i16 = d.astype(jnp.int16) - j16
+            return jnp.logical_and(
+                jnp.logical_and(i16 >= 0, i16 < lena16), valid_j16
+            )
 
     # Tiles whose pairs are ALL padding (len_a == 0) skip the wavefront
     # entirely — the engine's verify batch is a static budget, so the
@@ -193,16 +237,23 @@ def _sw_kernel(
             state = state_ref[:]
             a_diag = state[:, :lb]
 
-            i_ids = d - j_ids
-            valid = jnp.logical_and(
-                jnp.logical_and(i_ids >= 0, i_ids < len_a), valid_j
-            )
+            valid = diag_valid(jnp.asarray(d, jnp.int32))
 
-            sub = jnp.where(
-                a_diag == b_tok,
-                jnp.asarray(match, dtype),
-                jnp.asarray(mismatch, dtype),
-            )
+            if dtype == jnp.float32:
+                sub = jnp.where(
+                    a_diag == b_tok,
+                    jnp.asarray(match, dtype),
+                    jnp.asarray(mismatch, dtype),
+                )
+            else:
+                # token equality is inherently a 32-bit compare; select
+                # in 32-bit then truncate the VALUE (int32 -> int16 is
+                # a plain trunc, unlike an i1-mask relayout)
+                sub = jnp.where(
+                    a_diag == b_tok,
+                    jnp.int32(int(match)),
+                    jnp.int32(int(mismatch)),
+                ).astype(dtype)
             h = jnp.maximum(
                 shift_right_f(hpp_ref[:]) + sub,
                 jnp.maximum(shift_right_f(h_prev), h_prev)
@@ -236,8 +287,10 @@ def _sw_kernel(
         denom = match * jnp.maximum(
             1, jnp.minimum(len_a, len_b)
         ).astype(jnp.float32)
-        best = jnp.max(best_ref[:], axis=1, keepdims=True).astype(
-            jnp.float32
+        # cast BEFORE the reduce: Mosaic has no int16 reductions (one
+        # [TB, LB] cast per tile, off the wavefront's critical path)
+        best = jnp.max(
+            best_ref[:].astype(jnp.float32), axis=1, keepdims=True
         )
         out_ref[:] = best / denom
 
@@ -246,21 +299,33 @@ def _sw_kernel(
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "tile_b", "interpret", "unroll",
+        "state",
     ),
 )
 def _sw_pallas_call(
     a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret,
-    unroll=2,
+    unroll=2, state="f32",
 ):
     bsz, la = a.shape
     lb = b.shape[1]
-    # bf16 DP state would double VPU throughput and is exact for small
-    # integer scoring params, but Mosaic cannot lane-rotate non-32-bit
-    # vectors ("Rotate with non-32-bit data"), so the state stays f32.
-    dtype = jnp.float32
+    # 16-bit DP state packs 2 values per 32-bit VPU lane (2x elementwise
+    # throughput) and is exact for small integer scoring params; Mosaic
+    # cannot lane-rotate non-32-bit vectors ("Rotate with non-32-bit
+    # data"), so the i16 path shifts via static slice + concat instead
+    # (see _sw_kernel).  f32 remains the default pending A/B.
+    dtype = jnp.int16 if state == "i16" else jnp.float32
+    if dtype == jnp.int16:
+        assert all(
+            float(v) == int(v) for v in (match, mismatch, gap)
+        ), "i16 state requires integral scoring parameters"
     # reverse(a) ++ pad: the kernel's circularly rolling diagonal buffer
     a_ext = jnp.concatenate(
         [a[:, ::-1], jnp.zeros((bsz, lb), a.dtype)], axis=1
+    )
+    # lane-index plane for the i16 path (no 16-bit iota in hardware);
+    # one [TB, LB] tile replicated over the grid
+    j16 = jnp.broadcast_to(
+        jnp.arange(lb, dtype=jnp.int16)[None, :], (tile_b, lb)
     )
     kernel = functools.partial(
         _sw_kernel, la=la, lb=lb, match=match, mismatch=mismatch, gap=gap,
@@ -274,6 +339,7 @@ def _sw_pallas_call(
             pl.BlockSpec((tile_b, lb), lambda i: (i, 0)),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
             pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile_b, lb), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tile_b, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, 1), jnp.float32),
@@ -289,7 +355,7 @@ def _sw_pallas_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_ext, b, len_a, len_b)
+    )(a_ext, b, len_a, len_b, j16)
 
 
 def sw_normalized_pallas(
@@ -302,6 +368,7 @@ def sw_normalized_pallas(
     tile_b: int = 256,
     interpret: bool = False,
     unroll: int = 2,
+    state: str = "f32",
 ):
     """Normalized SW scores for a batch of pairs. Pads batch to tile_b."""
     a = jnp.asarray(a, jnp.uint32)
@@ -320,6 +387,6 @@ def sw_normalized_pallas(
     out = _sw_pallas_call(
         a, b, len_a, len_b,
         match=cfg.sw_match, mismatch=cfg.sw_mismatch, gap=cfg.sw_gap,
-        tile_b=tile_b, interpret=interpret, unroll=unroll,
+        tile_b=tile_b, interpret=interpret, unroll=unroll, state=state,
     )
     return out[:bsz, 0]

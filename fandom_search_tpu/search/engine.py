@@ -432,7 +432,21 @@ class SearchEngine:
         # default one batch of lookahead: deeper queues measured SLOWER
         # on the axon tunnel (9.5s vs 6.4s at 10k works with depth 3)
         lookahead = max(1, xcfg.lookahead_batches)
-        for wids, ext, t_pad, spans, fresh in self._batches(items):
+        # stage timers (stats.extra): s_batchgen = tokenize+pack wait,
+        # s_pull/s_host split inside _process_fused — the three numbers
+        # that localize a host-vs-device bottleneck (SURVEY.md §6
+        # observability)
+        gen = self._batches(items)
+        while True:
+            t_g = time.perf_counter()
+            nxt = next(gen, None)
+            stats.extra["s_batchgen"] = (
+                stats.extra.get("s_batchgen", 0.0)
+                + time.perf_counter() - t_g
+            )
+            if nxt is None:
+                break
+            wids, ext, t_pad, spans, fresh = nxt
             stats.num_batches += 1
             stats.num_query_shingles += fresh
             if self._use_fused:
@@ -480,20 +494,35 @@ class SearchEngine:
             return
 
         def tokenized_chunks():
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
             ids = sorted(raw)
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                fut = ex.submit(
-                    tokenize_many, {w: raw[w] for w in ids[:chunk]}
+            spans = [
+                ids[i : i + chunk] for i in range(0, len(ids), chunk)
+            ]
+            # 3 chunks in flight on 2 pool workers: tokenize_many fans
+            # each chunk over its own GIL-free thread pool, so two
+            # concurrent chunks saturate host cores while the main
+            # thread blocks on device syncs; deeper lookahead only
+            # costs memory already owed (`tokenized` keeps every work
+            # for chaining).  The single-worker/1-chunk version left
+            # the tokenizer idle whenever a device wait outlasted one
+            # chunk (round-1 review Weak #2).
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                pending = deque(
+                    ex.submit(tokenize_many, {w: raw[w] for w in sp})
+                    for sp in spans[:3]
                 )
-                for i in range(0, len(ids), chunk):
-                    done = fut.result()
-                    nxt = ids[i + chunk : i + 2 * chunk]
-                    if nxt:
-                        fut = ex.submit(
-                            tokenize_many, {w: raw[w] for w in nxt}
-                        )
+                nxt = 3
+                while pending:
+                    done = pending.popleft().result()
+                    if nxt < len(spans):
+                        pending.append(ex.submit(
+                            tokenize_many,
+                            {w: raw[w] for w in spans[nxt]},
+                        ))
+                        nxt += 1
                     tokenized.update(done)
                     yield from sorted(done.items())
 
@@ -539,7 +568,11 @@ class SearchEngine:
         scfg = self.cfg.shingle
         t0 = time.perf_counter()
         while True:
+            t_p = time.perf_counter()
             host = np.asarray(out)  # ONE pull per batch (5 x verify_budget f32)
+            stats.extra["s_pull"] = (
+                stats.extra.get("s_pull", 0.0) + time.perf_counter() - t_p
+            )
             cand_count = int(host[4, 0])
             uniq_count = int(host[4, 1])
             retry = False
@@ -807,8 +840,12 @@ def _candidate_stage(stream, s_emb_padded, ns_valid, mults, *, k, dim,
         q_emb_t = embed_shingles_pallas_t(
             stream, shingle_cfg, mults=mults, interpret=interpret
         )
+        from fandom_search_tpu.ops.distance_topk import engine_tiles
+
+        tq, ts = engine_tiles(q_emb_t.shape[1], s_emb_padded.shape[0])
         vals, idx = topk_dot_pallas(
             q_emb_t, s_emb_padded, ns_valid, k, dim, interpret=interpret,
+            tile_q=tq, tile_s=ts,
             min_keep=threshold, q_transposed=True,
             max_abs_score=shingle_cfg.n * shingle_cfg.n * dim,
         )

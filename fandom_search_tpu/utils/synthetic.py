@@ -31,9 +31,18 @@ def make_vocab(rng: np.random.Generator, size: int = 5000) -> List[str]:
     return sorted(words)
 
 
+def _vocab_arr(vocab: List[str]) -> np.ndarray:
+    """Cached object-array view of a vocab list (vectorized indexing
+    beats a Python comprehension ~10x at bench corpus sizes)."""
+    arr = getattr(_vocab_arr, "_cache", (None, None))
+    if arr[0] is not vocab:
+        _vocab_arr._cache = (vocab, np.asarray(vocab, dtype=object))
+    return _vocab_arr._cache[1]
+
+
 def random_text(rng: np.random.Generator, vocab: List[str], num_words: int) -> str:
     idx = rng.integers(0, len(vocab), size=num_words)
-    return " ".join(vocab[i] for i in idx)
+    return " ".join(_vocab_arr(vocab)[idx].tolist())
 
 
 def make_script(
@@ -86,9 +95,12 @@ def make_corpus_with_quotes(
     vocab = vocab or make_vocab(rng)
     works: Dict[str, str] = {}
     planted: List[PlantedQuote] = []
+    varr = _vocab_arr(vocab)
     for w in range(num_works):
         wid = f"work{w:05d}"
-        body = random_text(rng, vocab, words_per_work).split()
+        body = varr[
+            rng.integers(0, len(vocab), size=words_per_work)
+        ].tolist()
         # Choose all insertion points in the ORIGINAL body and insert
         # back-to-front, so one planted quote never splits another.
         ats = sorted(

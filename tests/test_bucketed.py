@@ -1,0 +1,256 @@
+"""Bucketed inverted-index prefilter (ops/bucketed.py).
+
+The load-bearing property is the pigeonhole guarantee: any candidate
+with >= n - P + 1 exactly-matching positions (n=6: >= 4) MUST be found
+(absent bucket-cap overflow), with scores identical to the exact
+kernel's.  Raw recall on noise queries is explicitly NOT promised —
+that is the documented thresholded-recall contract.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from fandom_search_tpu.config import BucketedConfig, PipelineConfig
+from fandom_search_tpu.data.shingler import embed_shingles_np, shingle_hashes
+from fandom_search_tpu.ops.bucketed import (
+    BucketedIndex,
+    attach_bucketed_prefilter,
+    bucketed_topk,
+)
+from fandom_search_tpu.ops.distance_topk import pad_rows, topk_dot_jnp
+
+CFG = PipelineConfig()
+SCFG = CFG.shingle
+K = CFG.search.k
+DIM = SCFG.dim
+BCFG = BucketedConfig()
+
+
+def _world(rng, nq=512, ns=1500, plant_every=7):
+    """Random streams with planted near-quotes: every ``plant_every``-th
+    query shingle copies a script shingle with <= 2 positions mutated
+    (>= 4 matches -> inside the guarantee)."""
+    s_stream = rng.integers(0, 2**32, size=ns + SCFG.n - 1, dtype=np.uint32)
+    q_stream = rng.integers(0, 2**32, size=nq + SCFG.n - 1, dtype=np.uint32)
+    for qi in range(0, nq, plant_every):
+        si = int(rng.integers(0, ns))
+        q_stream[qi : qi + SCFG.n] = s_stream[si : si + SCFG.n]
+        n_mut = int(rng.integers(0, 3))  # 0..2 mutations
+        for p in rng.choice(SCFG.n, size=n_mut, replace=False):
+            q_stream[qi + p] = rng.integers(0, 2**32, dtype=np.uint32)
+    return q_stream, s_stream
+
+
+def test_guaranteed_candidates_match_exact_kernel(rng):
+    q_stream, s_stream = _world(rng)
+    windows = shingle_hashes(s_stream, SCFG)
+    q_emb = embed_shingles_np(q_stream, SCFG)
+    s_emb = embed_shingles_np(s_stream, SCFG)
+    bidx = BucketedIndex.build(windows, BCFG, SCFG)
+    assert bidx.overflow_frac == 0.0  # uniform hashes: no hot buckets
+
+    s_pad, _ = pad_rows(s_emb, 512)
+    bvals, bidx_out = bucketed_topk(
+        q_emb, q_stream, bidx, s_pad, K, DIM, BCFG, SCFG
+    )
+    evals, eidx = topk_dot_jnp(q_emb, s_emb, K, DIM)
+    bvals, bidx_out = np.asarray(bvals), np.asarray(bidx_out)
+    evals, eidx = np.asarray(evals), np.asarray(eidx)
+
+    thr = CFG.search.candidate_threshold
+    q_windows = shingle_hashes(q_stream, SCFG)
+    # every exact-kernel entry above the engine threshold whose TRUE
+    # exact-match count is inside the pigeonhole guarantee (>= 3 for
+    # n=6) must appear in the bucketed result with the same score and
+    # index; sub-guarantee entries (2 matches riding +2.8-sigma noise)
+    # are the documented residual
+    checked = 0
+    for i in range(evals.shape[0]):
+        for j in range(K):
+            if evals[i, j] >= thr:
+                true_matches = int(
+                    (q_windows[i] == windows[eidx[i, j]]).sum()
+                )
+                if true_matches < 3:
+                    continue
+                # exactly one LIVE occurrence (padding slots repeat ids
+                # of masked duplicates but score NEG_INF)
+                hits = np.where(
+                    (bidx_out[i] == eidx[i, j]) & (bvals[i] > -1e30)
+                )[0]
+                assert hits.size == 1, (i, j, eidx[i, j], true_matches)
+                assert bvals[i, hits[0]] == pytest.approx(evals[i, j])
+                checked += 1
+    assert checked > 50  # the plants actually exercised the guarantee
+
+
+def test_no_duplicate_candidates(rng):
+    q_stream, s_stream = _world(rng, nq=256, ns=800)
+    windows = shingle_hashes(s_stream, SCFG)
+    bidx = BucketedIndex.build(windows, BCFG, SCFG)
+    from fandom_search_tpu.ops.bucketed import probe_candidates
+
+    cand, ok = probe_candidates(
+        q_stream, bidx.entries, bidx.offsets,
+        n=SCFG.n, cap=BCFG.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts,
+    )
+    cand, ok = np.asarray(cand), np.asarray(ok)
+    for i in range(cand.shape[0]):
+        v = cand[i][ok[i]]
+        assert len(v) == len(np.unique(v))
+
+
+def test_identical_shingle_found_via_every_pair(rng):
+    """An exact copy shares ALL pair buckets; it must be reported once
+    with a full score of n."""
+    s_stream = rng.integers(0, 2**32, size=64 + SCFG.n - 1, dtype=np.uint32)
+    q_stream = s_stream[: 32 + SCFG.n - 1].copy()
+    windows = shingle_hashes(s_stream, SCFG)
+    bidx = BucketedIndex.build(windows, BCFG, SCFG)
+    q_emb = embed_shingles_np(q_stream, SCFG)
+    s_emb = embed_shingles_np(s_stream, SCFG)
+    s_pad, _ = pad_rows(s_emb, 512)
+    vals, idx = bucketed_topk(
+        q_emb, q_stream, bidx, s_pad, K, DIM, BCFG, SCFG
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    evals, eidx = (
+        np.asarray(x) for x in topk_dot_jnp(q_emb, s_emb, K, DIM)
+    )
+    for qi in range(vals.shape[0]):
+        assert idx[qi, 0] == qi == eidx[qi, 0]
+        # self-dot = n + cross-position noise; must equal the exact
+        # kernel's value bit-for-bit
+        assert vals[qi, 0] == evals[qi, 0]
+        assert vals[qi, 0] > SCFG.n - 2
+
+
+def test_cap_overflow_reported(rng):
+    """A hot bucket (repeated identical pair) shows up in overflow_frac."""
+    ns = 400
+    s_stream = rng.integers(0, 2**32, size=ns + SCFG.n - 1, dtype=np.uint32)
+    # force one bigram to repeat in ~half the shingles at positions 0,1
+    s_stream[0:ns:2] = 12345
+    s_stream[1:ns:2] = 67890
+    windows = shingle_hashes(s_stream, SCFG)
+    bidx = BucketedIndex.build(
+        windows, dataclasses.replace(BCFG, cap=8), SCFG
+    )
+    assert bidx.overflow_frac > 0.1
+
+
+def test_engine_with_bucketed_matches_exact_rows(rng):
+    """End-to-end: engine rows with the bucketed prefilter equal the
+    exact engine's rows (quotes are above-threshold, so the guarantee
+    covers them)."""
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.search.engine import SearchEngine
+    from fandom_search_tpu.search.index import build_script_index
+    from fandom_search_tpu.utils.synthetic import (
+        make_corpus_with_quotes, make_script, make_vocab,
+    )
+
+    cfg = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, batch_queries=4096)
+    )
+    vocab = make_vocab(rng, 800)
+    lines = parse_script(make_script(rng, vocab, num_lines=20))
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    works, _ = make_corpus_with_quotes(
+        rng, [ln.text for ln in lines], num_works=12, words_per_work=200,
+        quotes_per_work=2, vocab=vocab,
+    )
+    exact = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    want, _ = exact.search_works(works)
+
+    eng = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    attach_bucketed_prefilter(eng, BCFG)
+    assert eng.bucketed.ns_valid == index.num_shingles
+    got, stats = eng.search_works(works)
+    key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
+    assert {key(r) for r in got} == {key(r) for r in want}
+    assert stats.num_verified > 0
+
+    # stale prebuilt index is rejected
+    with pytest.raises(ValueError, match="rebuild"):
+        other = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+        bad = dataclasses.replace(eng.bucketed, ns_valid=3)
+        attach_bucketed_prefilter(other, BCFG, bidx=bad)
+
+
+def test_flat_candidates_match_exact_kernel_triples(rng):
+    """The flat path's triples must equal the exact kernel's
+    above-threshold top-k triples for guaranteed (>=3-match) rows."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import bucketed_candidates_flat
+
+    q_stream, s_stream = _world(rng, nq=512, ns=1500)
+    windows = shingle_hashes(s_stream, SCFG)
+    q_emb = embed_shingles_np(q_stream, SCFG)
+    s_emb = embed_shingles_np(s_stream, SCFG)
+    bidx = BucketedIndex.build(windows, BCFG, SCFG)
+    s_pad, _ = pad_rows(s_emb, 512)
+    thr = CFG.search.candidate_threshold
+
+    qpos, sidx, sc, count = bucketed_candidates_flat(
+        jnp.asarray(q_stream), jnp.asarray(q_emb), bidx.entries,
+        bidx.offsets, jnp.asarray(s_pad),
+        n=SCFG.n, cap=BCFG.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts, k=K, dim=DIM, threshold=thr, max_out=4096,
+    )
+    qpos, sidx, sc = (np.asarray(x) for x in (qpos, sidx, sc))
+    got = {
+        (int(q), int(s), float(v))
+        for q, s, v in zip(qpos, sidx, sc) if q >= 0
+    }
+
+    evals, eidx = (
+        np.asarray(x) for x in topk_dot_jnp(q_emb, s_emb, K, DIM)
+    )
+    q_windows = shingle_hashes(q_stream, SCFG)
+    want_guaranteed = set()
+    want_all = set()
+    for i in range(evals.shape[0]):
+        for j in range(K):
+            if evals[i, j] >= thr:
+                t = (i, int(eidx[i, j]), float(evals[i, j]))
+                want_all.add(t)
+                if (q_windows[i] == windows[eidx[i, j]]).sum() >= 3:
+                    want_guaranteed.add(t)
+    assert want_guaranteed <= got          # pigeonhole guarantee
+    assert got <= want_all                 # never invents candidates
+    assert len(want_guaranteed) > 50
+
+
+def test_flat_candidates_budget_overflow_reported(rng):
+    """Overflowing the pair budget must surface in the returned count
+    (> max_out) so the engine's sticky retry grows the budget."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import bucketed_candidates_flat
+
+    # every shingle identical (alternating 2-token stream): each query
+    # pulls cap entries from every probe -> ~cap unique pairs per
+    # query, far above the pow2(2*M + 8*max_out) pair budget
+    nq, ns = 1024, 800
+    q_stream = np.empty(nq + SCFG.n - 1, np.uint32)
+    s_stream = np.empty(ns + SCFG.n - 1, np.uint32)
+    q_stream[0::2], q_stream[1::2] = 111, 222
+    s_stream[0::2], s_stream[1::2] = 111, 222
+    windows = shingle_hashes(s_stream, SCFG)
+    q_emb = embed_shingles_np(q_stream, SCFG)
+    s_pad, _ = pad_rows(embed_shingles_np(s_stream, SCFG), 512)
+    bidx = BucketedIndex.build(windows, BCFG, SCFG)
+    thr = CFG.search.candidate_threshold
+    tiny = 4
+    qpos, sidx, sc, count = bucketed_candidates_flat(
+        jnp.asarray(q_stream), jnp.asarray(q_emb), bidx.entries,
+        bidx.offsets, jnp.asarray(s_pad),
+        n=SCFG.n, cap=BCFG.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts, k=K, dim=DIM, threshold=thr, max_out=tiny,
+    )
+    assert int(count) > tiny

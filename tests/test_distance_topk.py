@@ -163,3 +163,61 @@ def jnp_pad(x, mult):
 
     p, _ = pad_rows(jnp.asarray(x), mult)
     return p
+
+
+def test_insert_merge_equals_rebuild_merge(rng):
+    """The round-2 insert merge must reproduce the round-1 rebuild merge
+    bit-for-bit, in exact mode and in min_keep (engine) mode, including
+    adversarial rows with many tied/above-threshold entries."""
+    from fandom_search_tpu.config import ShingleConfig
+    from fandom_search_tpu.data.shingler import embed_shingles_np
+    from fandom_search_tpu.ops.distance_topk import (
+        pad_rows, topk_dot_pallas,
+    )
+
+    scfg = ShingleConfig()
+    nq, ns = 512, 4096
+    q_stream = rng.integers(0, 2**32, size=nq + scfg.n - 1, dtype=np.uint32)
+    s_stream = rng.integers(0, 2**32, size=ns + scfg.n - 1, dtype=np.uint32)
+    # dense plants: some rows get MANY above-threshold entries so the
+    # insert loop must run all k iterations
+    for qi in range(0, nq, 3):
+        si = int(rng.integers(0, ns - 20))
+        q_stream[qi : qi + scfg.n] = s_stream[si : si + scfg.n]
+    s_stream[100:130] = s_stream[100]  # repeated script region -> ties
+    q_emb = embed_shingles_np(q_stream, scfg)
+    s_emb = embed_shingles_np(s_stream, scfg)
+    import jax.numpy as jnp
+
+    sp, nsv = pad_rows(jnp.asarray(s_emb), 512)
+    # exact mode: bit-identical
+    vi, ii = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+        interpret=True, min_keep=-float("inf"), merge="insert",
+    )
+    vr, ir = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+        interpret=True, min_keep=-float("inf"), merge="rebuild",
+    )
+    np.testing.assert_array_equal(np.asarray(vi), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(ir))
+
+    # min_keep (engine) mode: the contract only covers entries >= the
+    # threshold (sub-threshold rows may legally return padding, and the
+    # insert merge skips them more aggressively than rebuild did) — the
+    # above-threshold (value, index) prefix must agree exactly
+    mk = 3.5
+    vi, ii = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+        interpret=True, min_keep=mk, merge="insert",
+    )
+    vr, ir = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+        interpret=True, min_keep=mk, merge="rebuild",
+    )
+    vi, ii, vr, ir = (np.asarray(x) for x in (vi, ii, vr, ir))
+    keep_i, keep_r = vi >= mk, vr >= mk
+    np.testing.assert_array_equal(keep_i, keep_r)
+    np.testing.assert_array_equal(vi[keep_i], vr[keep_r])
+    np.testing.assert_array_equal(ii[keep_i], ir[keep_r])
+    assert keep_i.sum() > 100  # plants actually exercised this

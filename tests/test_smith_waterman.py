@@ -96,3 +96,24 @@ def test_empty_batch():
         interpret=True,
     )
     assert out.shape == (0,)
+
+
+def test_i16_state_matches_f32(rng):
+    """The int16-state kernel (concat-shift; 2 values per VPU lane)
+    must reproduce the f32 wavefront exactly for integral scoring."""
+    from fandom_search_tpu.config import SearchConfig
+    from fandom_search_tpu.ops.smith_waterman import sw_normalized_pallas
+
+    cfg = SearchConfig()
+    B, w, mlt = 256, 64, 64
+    a = rng.integers(1, 40, size=(B, w)).astype(np.uint32)
+    b = rng.integers(1, 40, size=(B, mlt)).astype(np.uint32)
+    la = rng.integers(0, w + 1, size=B).astype(np.int32)
+    lb = rng.integers(1, mlt + 1, size=B).astype(np.int32)
+    f = np.asarray(
+        sw_normalized_pallas(a, b, la, lb, cfg, interpret=True, state="f32")
+    )
+    i = np.asarray(
+        sw_normalized_pallas(a, b, la, lb, cfg, interpret=True, state="i16")
+    )
+    np.testing.assert_array_equal(f, i)
