@@ -248,6 +248,18 @@ def cmd_index(args) -> int:
         )
         save_lsh(Path(args.out), lsh, cfg.lsh)
         print(f"saved LSH codes ({cfg.lsh.bits} bits)", file=sys.stderr)
+    if args.bucketed:
+        from fandom_search_tpu.ops.bucketed import BucketedIndex
+        from fandom_search_tpu.search.persist import save_bucketed
+
+        bidx = BucketedIndex.build(
+            index.shingle_windows, cfg.bucketed, cfg.shingle
+        )
+        save_bucketed(Path(args.out), bidx, cfg.bucketed)
+        print(
+            f"saved bucketed tables ({bidx.num_buckets} buckets, "
+            f"overflow {bidx.overflow_frac:.5f})", file=sys.stderr,
+        )
     print(f"indexed {len(lines)} lines -> {index.num_shingles} shingles "
           f"at {args.out}", file=sys.stderr)
     return 0
@@ -302,7 +314,12 @@ def _run_search(args, cfg, lines, index, works):
     if args.bucketed:
         from fandom_search_tpu.ops.bucketed import attach_bucketed_prefilter
 
-        attach_bucketed_prefilter(eng, cfg.bucketed)
+        prebuilt_b = None
+        if args.index:
+            from fandom_search_tpu.search.persist import load_bucketed
+
+            prebuilt_b = load_bucketed(Path(args.index), cfg.bucketed)
+        attach_bucketed_prefilter(eng, cfg.bucketed, bidx=prebuilt_b)
     if args.resume_dir:
         from fandom_search_tpu.search.runner import ResumableRunner
 

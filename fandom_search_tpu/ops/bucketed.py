@@ -365,6 +365,15 @@ def attach_bucketed_prefilter(
             f"bucketed index covers {bidx.ns_valid} shingles; engine "
             f"index has {engine.index.num_shingles} — rebuild it"
         )
+    else:  # persisted tables arrive as host arrays
+        bidx = BucketedIndex(
+            entries=jax.device_put(jnp.asarray(bidx.entries)),
+            offsets=jax.device_put(jnp.asarray(bidx.offsets)),
+            num_buckets=bidx.num_buckets,
+            salts=tuple(bidx.salts),
+            ns_valid=bidx.ns_valid,
+            overflow_frac=bidx.overflow_frac,
+        )
     engine.bucketed = bidx
     scfg = engine.cfg.shingle
     xcfg = engine.cfg.search

@@ -121,6 +121,57 @@ def save_lsh(path: str | Path, lsh, cfg: LSHConfig) -> None:
     (path / "lsh_meta.json").write_text(json.dumps(meta), encoding="utf-8")
 
 
+def save_bucketed(path: str | Path, bidx, cfg) -> None:
+    """Persist a built BucketedIndex (ops/bucketed.py) next to the
+    script index — the inverted tables are ~10s to build + upload at
+    10^6 shingles."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    arrays = {
+        "entries": np.asarray(bidx.entries),
+        "offsets": np.asarray(bidx.offsets),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path / "bucketed_arrays", arrays, force=True)
+    meta = {
+        "num_buckets": int(bidx.num_buckets),
+        "salts": list(bidx.salts),
+        "ns_valid": int(bidx.ns_valid),
+        "overflow_frac": float(bidx.overflow_frac),
+        "bucketed": dataclasses.asdict(cfg),
+    }
+    (path / "bucketed_meta.json").write_text(
+        json.dumps(meta), encoding="utf-8"
+    )
+
+
+def load_bucketed(path: str | Path, cfg):
+    """Load a persisted BucketedIndex; None if absent or
+    config-mismatched."""
+    import orbax.checkpoint as ocp
+
+    from fandom_search_tpu.ops.bucketed import BucketedIndex
+
+    path = Path(path).resolve()
+    meta_path = path / "bucketed_meta.json"
+    if not meta_path.exists():
+        return None
+    meta = json.loads(meta_path.read_text(encoding="utf-8"))
+    if meta.get("bucketed") != dataclasses.asdict(cfg):
+        return None
+    ckptr = ocp.PyTreeCheckpointer()
+    arrays = ckptr.restore(path / "bucketed_arrays")
+    return BucketedIndex(
+        entries=np.asarray(arrays["entries"]).astype(np.int32),
+        offsets=np.asarray(arrays["offsets"]).astype(np.int32),
+        num_buckets=int(meta["num_buckets"]),
+        salts=tuple(int(s) for s in meta["salts"]),
+        ns_valid=int(meta["ns_valid"]),
+        overflow_frac=float(meta["overflow_frac"]),
+    )
+
+
 def load_lsh(path: str | Path, cfg: LSHConfig):
     """Load a persisted LSHIndex; None if absent or config-mismatched
     (a mismatch means the caller wants different bits/seed — rebuild)."""

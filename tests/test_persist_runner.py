@@ -258,3 +258,45 @@ def test_cli_index_then_search(tmp_path):
     manifest = json.loads(r.stdout.strip().splitlines()[-1])
     assert manifest["matches"] >= 1
     assert (tmp_path / "units" / "manifest.json").exists()
+
+
+def test_save_load_bucketed_roundtrip(tmp_path, world):
+    """Persisted bucketed tables load bit-identical and attach on a
+    loaded engine with identical rows."""
+    from fandom_search_tpu.config import BucketedConfig
+    from fandom_search_tpu.ops.bucketed import (
+        BucketedIndex, attach_bucketed_prefilter,
+    )
+    from fandom_search_tpu.search.persist import load_bucketed, save_bucketed
+
+    index, works, _ = world
+    bcfg = BucketedConfig()
+    bidx = BucketedIndex.build(index.shingle_windows, bcfg, CFG.shingle)
+    save_index(index, CFG, tmp_path / "idx")
+    save_bucketed(tmp_path / "idx", bidx, bcfg)
+
+    loaded = load_bucketed(tmp_path / "idx", bcfg)
+    assert loaded is not None
+    np.testing.assert_array_equal(
+        np.asarray(loaded.entries), np.asarray(bidx.entries)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.offsets), np.asarray(bidx.offsets)
+    )
+    assert loaded.salts == bidx.salts
+    assert loaded.num_buckets == bidx.num_buckets
+
+    import dataclasses as dc
+
+    assert load_bucketed(
+        tmp_path / "idx", dc.replace(bcfg, cap=16)
+    ) is None
+
+    index2, cfg2 = load_index(tmp_path / "idx")
+    e_fresh = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    attach_bucketed_prefilter(e_fresh, bcfg)
+    e_loaded = SearchEngine(index2, cfg2, use_pallas=True, interpret=True)
+    attach_bucketed_prefilter(e_loaded, bcfg, bidx=loaded)
+    r1, _ = e_fresh.search_works(works)
+    r2, _ = e_loaded.search_works(works)
+    assert [r.to_csv_row() for r in r1] == [r.to_csv_row() for r in r2]
