@@ -143,7 +143,9 @@ def fast_tokenize(text: str) -> Tokenized:
         starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
-    offsets = np.stack([starts[:n], ends[:n]], axis=1)
+    # int32 offsets match tokenize() (texts are far below 2 GB; the
+    # corpus-wide cache is offset-dominated at 100k-work scale)
+    offsets = np.stack([starts[:n], ends[:n]], axis=1).astype(np.int32)
     # token strings are lazy (Tokenized.tokens) — search never needs them
     return Tokenized(text=text, offsets=offsets, hashes=hashes[:n].copy())
 

@@ -54,7 +54,7 @@ class Tokenized:
         self.text = text
         self._tokens = tokens
         self.offsets = (
-            offsets if offsets is not None else np.zeros((0, 2), np.int64)
+            offsets if offsets is not None else np.zeros((0, 2), np.int32)
         )
         # uint32[num_tokens] word hashes (fmix32(FNV-1a(token))).
         self.hashes = hashes if hashes is not None else hash_words(self.tokens)
@@ -86,9 +86,12 @@ def tokenize(text: str) -> Tokenized:
     for m in _TOKEN_RE.finditer(low):
         tokens.append(m.group(0))
         spans.append((m.start(), m.end()))
+    # int32 offsets: texts are far below 2 GB, and the corpus-wide
+    # Tokenized cache (chaining needs every work) is offset-dominated —
+    # int64 doubled resident memory at 100k-work scale for nothing
     offsets = (
-        np.array(spans, dtype=np.int64)
+        np.array(spans, dtype=np.int32)
         if spans
-        else np.zeros((0, 2), dtype=np.int64)
+        else np.zeros((0, 2), dtype=np.int32)
     )
     return Tokenized(text=text, tokens=tokens, offsets=offsets)

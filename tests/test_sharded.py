@@ -204,3 +204,28 @@ def test_multihost_cli_flag_wiring():
         "num_processes": 2,
         "process_id": 0,
     }
+
+
+def test_sharded_engine_with_bucketed_prefilter(world):
+    """The bucketed prefilter attaches to the sharded engine (two-stage
+    flow, replicated rerank) and reproduces its rows."""
+    import dataclasses as dc
+
+    from fandom_search_tpu.config import BucketedConfig
+    from fandom_search_tpu.ops.bucketed import attach_bucketed_prefilter
+    from fandom_search_tpu.search.index import build_script_index
+
+    lines, works, planted = world
+    cfg = PipelineConfig()
+    cfg = dc.replace(cfg, search=dc.replace(cfg.search, batch_queries=2048))
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+    mesh = _mesh(2, 1)
+    base = ShardedSearchEngine(index, cfg, mesh=mesh, use_pallas=False)
+    want, _ = base.search_works(works)
+
+    eng = ShardedSearchEngine(index, cfg, mesh=mesh, use_pallas=False)
+    attach_bucketed_prefilter(eng, BucketedConfig())
+    got, stats = eng.search_works(works)
+    key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
+    assert {key(r) for r in got} == {key(r) for r in want}
+    assert stats.num_verified > 0
