@@ -69,6 +69,11 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
                    help="use the sub-linear bucketed inverted-index "
                         "prefilter (recommended for very large script "
                         "indexes, e.g. whole-season search)")
+    p.add_argument("--bucketed-pairs", choices=("triangles", "all"),
+                   default=None,
+                   help="probe set: 'triangles' (6 probes, >=3-match "
+                        "guarantee) or 'all' (15 probes, >=2-match "
+                        "guarantee for recall-critical huge indexes)")
     p.add_argument("--multihost", action="store_true",
                    help="join a multi-host JAX cluster "
                         "(jax.distributed.initialize) before building the "
@@ -138,13 +143,19 @@ def _pipeline_config(args) -> "PipelineConfig":
         LSHConfig, MeshConfig, PipelineConfig, SearchConfig, ShingleConfig,
     )
 
+    from fandom_search_tpu.config import BucketedConfig
+
     shingle = ShingleConfig() if args.shingle_n is None else ShingleConfig(
         n=args.shingle_n
+    )
+    bucketed = BucketedConfig() if args.bucketed_pairs is None else (
+        BucketedConfig(pairs=args.bucketed_pairs)
     )
     return PipelineConfig(
         shingle=shingle,
         search=dataclasses.replace(SearchConfig(), **_runtime_overrides(args)),
         lsh=LSHConfig(),
+        bucketed=bucketed,
         mesh=_mesh_from_args(args) or MeshConfig(),
     )
 
@@ -170,6 +181,13 @@ def _overlay_runtime(cfg: "PipelineConfig", args) -> "PipelineConfig":
     mesh = _mesh_from_args(args)
     if mesh is not None:
         cfg = dataclasses.replace(cfg, mesh=mesh)
+    if args.bucketed_pairs is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            bucketed=dataclasses.replace(
+                cfg.bucketed, pairs=args.bucketed_pairs
+            ),
+        )
     return cfg
 
 

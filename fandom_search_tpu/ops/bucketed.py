@@ -73,15 +73,22 @@ def _derive_salts(seed: int, p: int) -> np.ndarray:
     )
 
 
-def _pairs_for(n: int) -> Tuple[Tuple[int, int], ...]:
-    """Within-group pairs for groups of 3 positions (see module doc).
+def _pairs_for(n: int, mode: str = "triangles") -> Tuple[Tuple[int, int], ...]:
+    """Probe position pairs (see module doc and BucketedConfig.pairs).
 
-    Guarantee: a candidate matching >= ceil(n/3)+1 positions shares an
-    intact probed pair.  A trailing 1-position group degenerates to a
-    (p, p) single-word probe (keeps the guarantee, coarser bucket).
+    "triangles": within-group pairs for groups of 3 positions —
+    guarantees a candidate matching >= ceil(n/3)+1 positions shares an
+    intact probed pair (minimal covering for that bound; Turan).  A
+    trailing 1-position group degenerates to a (p, p) single-word
+    probe.  "all": every C(n,2) pair — guarantees >= 2 matches (every
+    2-subset must itself be probed, so no cheaper covering exists).
     """
     if n < 2:
         return ((0, 0),)
+    if mode == "all":
+        return tuple(
+            (i, j) for i in range(n) for j in range(i + 1, n)
+        )
     pairs = []
     for g0 in range(0, n, 3):
         grp = list(range(g0, min(g0 + 3, n)))
@@ -123,7 +130,7 @@ class BucketedIndex:
     ) -> "BucketedIndex":
         w = np.asarray(shingle_windows, dtype=np.uint32)
         ns, n = w.shape if w.ndim == 2 else (0, shingle_cfg.n)
-        pairs = _pairs_for(shingle_cfg.n)
+        pairs = _pairs_for(shingle_cfg.n, cfg.pairs)
         p = len(pairs)
         b = 1024
         while b < cfg.load_factor * max(ns, 1):
@@ -152,7 +159,8 @@ class BucketedIndex:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "cap", "num_buckets", "salts"),
+    jax.jit,
+    static_argnames=("n", "cap", "num_buckets", "salts", "pairs_mode"),
 )
 def probe_candidates(
     stream: jax.Array,     # uint32 [T] query token hashes
@@ -163,6 +171,7 @@ def probe_candidates(
     cap: int,
     num_buckets: int,
     salts: Tuple[int, ...],
+    pairs_mode: str = "triangles",
 ) -> Tuple[jax.Array, jax.Array]:
     """Bucket-probe every query shingle; returns (cand_idx, ok) of shape
     [M, P*cap] with candidates SORTED ascending per row and duplicates
@@ -170,7 +179,7 @@ def probe_candidates(
     lowest script index, the exact kernel's rule)."""
     t = stream.shape[0]
     m = max(0, t - n + 1)
-    pairs = _pairs_for(n)
+    pairs = _pairs_for(n, pairs_mode)
     cands = []
     oks = []
     iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -217,7 +226,7 @@ def bucketed_topk(
     cand, ok = probe_candidates(
         stream, bidx.entries, bidx.offsets,
         n=shingle_cfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
-        salts=bidx.salts,
+        salts=bidx.salts, pairs_mode=cfg.pairs,
     )
     qp, _ = pad_rows(q_emb, 256)
     pad = qp.shape[0] - m
@@ -232,7 +241,7 @@ def bucketed_topk(
     jax.jit,
     static_argnames=(
         "n", "cap", "num_buckets", "salts", "k", "dim", "threshold",
-        "max_out",
+        "max_out", "pairs_mode",
     ),
 )
 def bucketed_candidates_flat(
@@ -250,6 +259,7 @@ def bucketed_candidates_flat(
     dim: int,
     threshold: float,
     max_out: int,
+    pairs_mode: str = "triangles",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sub-linear candidate generation emitting engine-ready triples.
 
@@ -281,12 +291,15 @@ def bucketed_candidates_flat(
     from fandom_search_tpu.search.engine import nonzero_compact
 
     m_queries = max(1, stream.shape[0] - n + 1)
+    p = len(_pairs_for(n, pairs_mode))
+    slack = max(2, -(-p // 3))  # ~2x expected noise pairs (P/load)
     pair_budget = 1024
-    while pair_budget < 2 * m_queries + 8 * max_out:
+    while pair_budget < slack * m_queries + 8 * max_out:
         pair_budget *= 2
     cand, ok = probe_candidates(
         stream, entries, offsets,
         n=n, cap=cap, num_buckets=num_buckets, salts=salts,
+        pairs_mode=pairs_mode,
     )
     m, width = cand.shape
     flat_ok = ok.ravel()
@@ -350,11 +363,11 @@ def attach_bucketed_prefilter(
     (mirrors ops/lsh.attach_lsh_prefilter)."""
     from fandom_search_tpu.data.shingler import embed_shingles
 
-    if engine.cfg.search.k > len(_pairs_for(engine.cfg.shingle.n)) * cfg.cap:
+    p_width = len(_pairs_for(engine.cfg.shingle.n, cfg.pairs)) * cfg.cap
+    if engine.cfg.search.k > p_width:
         raise ValueError(
             f"k ({engine.cfg.search.k}) cannot exceed the bucketed probe "
-            f"width (P*cap = "
-            f"{len(_pairs_for(engine.cfg.shingle.n)) * cfg.cap})"
+            f"width (P*cap = {p_width})"
         )
     if bidx is None:
         bidx = BucketedIndex.build(
@@ -374,6 +387,20 @@ def attach_bucketed_prefilter(
             ns_valid=bidx.ns_valid,
             overflow_frac=bidx.overflow_frac,
         )
+    if bidx.overflow_frac > 0.05:
+        # A skewed (Zipf stopword-heavy) vocabulary overflows hot
+        # pair-buckets and silently loses the recall guarantee
+        # (measured: 70% overflow -> thresholded recall 0.06 on a
+        # Zipf-1.3 corpus, scripts/bucketed_probe.py).  Refuse rather
+        # than degrade; the exact kernel covers that regime at full
+        # recall (~630 G pairs/s at a 2^20-shingle index).
+        raise ValueError(
+            f"bucketed index has {bidx.overflow_frac:.0%} of entries in "
+            f"over-cap buckets (cap={cfg.cap}); this corpus's word-pair "
+            f"distribution is too skewed for the bucketed prefilter — "
+            f"use the exact kernel (drop --bucketed) or raise cap/"
+            f"load_factor"
+        )
     engine.bucketed = bidx
     scfg = engine.cfg.shingle
     xcfg = engine.cfg.search
@@ -388,6 +415,7 @@ def attach_bucketed_prefilter(
             n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
             salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
             threshold=xcfg.candidate_threshold, max_out=max_out,
+            pairs_mode=cfg.pairs,
         )
 
     engine._use_fused = False

@@ -4,7 +4,9 @@
 Interleaved same-process A/B with scalar-pull sync (the axon tunnel's
 throughput phases make anything else untrustworthy — DESIGN.md §7).
 
-Usage: python scripts/bucketed_probe.py [log2_ns] [log2_nq] [zipf]
+Usage: python scripts/bucketed_probe.py [log2_ns] [log2_nq] [zipf] [all]
+  "zipf" -> Zipf word distribution (hot-bucket stress)
+  "all"  -> pairs="all" probe mode (15 probes, >=2-match guarantee)
 """
 
 import os
@@ -25,7 +27,8 @@ def sync(x):
 def main():
     log2_ns = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     log2_nq = int(sys.argv[2]) if len(sys.argv) > 2 else 17
-    zipf = len(sys.argv) > 3 and sys.argv[3] == "zipf"
+    zipf = "zipf" in sys.argv[3:]
+    all_pairs = "all" in sys.argv[3:]
 
     import jax
     import jax.numpy as jnp
@@ -44,7 +47,7 @@ def main():
     )
 
     cfg = PipelineConfig()
-    bcfg = BucketedConfig()
+    bcfg = BucketedConfig(pairs="all" if all_pairs else "triangles")
     k, dim, n = cfg.search.k, cfg.shingle.dim, cfg.shingle.n
     thr = cfg.search.candidate_threshold
     ns, nq = 1 << log2_ns, 1 << log2_nq
@@ -101,7 +104,7 @@ def main():
             q_stream_dev, q_dev, bidx.entries, bidx.offsets, s_pad,
             n=n, cap=bcfg.cap, num_buckets=bidx.num_buckets,
             salts=bidx.salts, k=k, dim=dim, threshold=thr,
-            max_out=1 << 16,
+            max_out=1 << 16, pairs_mode=bcfg.pairs,
         )
         return out[2], out
 
@@ -115,23 +118,36 @@ def main():
     sync(bv)
 
     # thresholded recall: exact entries >= thr found by bucketed with
-    # equal score (multiset by score, per query)
+    # equal score (multiset by score, per query).  Split into the
+    # GUARANTEED set (>= g true matching positions — the pigeonhole
+    # bound) and all: above-threshold entries with < g matches are
+    # hash-noise riding the threshold, which downstream SW
+    # verification rejects anyway.
+    g_bound = 2 if all_pairs else 3
+    q_windows = shingle_hashes(q_stream, cfg.shingle)
     evn, ein = np.asarray(ev), np.asarray(ei)
     bvn = np.asarray(bv)
-    tot = hit = 0
+    tot = hit = g_tot = g_hit = 0
     for i in range(0, nq, 37):  # subsample queries
         keep = evn[i] >= thr
         if not keep.any():
             continue
         got = sorted(bvn[i].tolist(), reverse=True)
-        for v in evn[i][keep]:
+        for v, si in zip(evn[i][keep], ein[i][keep]):
+            guaranteed = (
+                int((q_windows[i] == windows[si]).sum()) >= g_bound
+            )
             tot += 1
+            g_tot += guaranteed
             if v in got:
                 got.remove(v)
                 hit += 1
+                g_hit += guaranteed
     rec = hit / max(1, tot)
-    print(f"thresholded recall (subsampled, {tot} entries): {rec:.4f}",
-          flush=True)
+    g_rec = g_hit / max(1, g_tot)
+    print(f"thresholded recall (subsampled, {tot} entries): {rec:.4f}; "
+          f"guaranteed-set (>= {g_bound} matches, {g_tot} entries): "
+          f"{g_rec:.4f}", flush=True)
 
     # interleaved A/B, best of rounds
     best_e = best_b = float("inf")

@@ -254,3 +254,65 @@ def test_flat_candidates_budget_overflow_reported(rng):
         salts=bidx.salts, k=K, dim=DIM, threshold=thr, max_out=tiny,
     )
     assert int(count) > tiny
+
+
+def test_all_pairs_mode_guarantees_two_matches(rng):
+    """pairs="all" must find every >=2-exact-match above-threshold
+    candidate (triangles only guarantees >=3)."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import bucketed_candidates_flat
+
+    bcfg = dc.replace(BCFG, pairs="all")
+    q_stream, s_stream = _world(rng, nq=512, ns=1500)
+    windows = shingle_hashes(s_stream, SCFG)
+    q_emb = embed_shingles_np(q_stream, SCFG)
+    s_emb = embed_shingles_np(s_stream, SCFG)
+    bidx = BucketedIndex.build(windows, bcfg, SCFG)
+    s_pad, _ = pad_rows(s_emb, 512)
+    thr = CFG.search.candidate_threshold
+
+    qpos, sidx, sc, count = bucketed_candidates_flat(
+        jnp.asarray(q_stream), jnp.asarray(q_emb), bidx.entries,
+        bidx.offsets, jnp.asarray(s_pad),
+        n=SCFG.n, cap=bcfg.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts, k=K, dim=DIM, threshold=thr, max_out=8192,
+        pairs_mode="all",
+    )
+    qpos, sidx = np.asarray(qpos), np.asarray(sidx)
+    got = {(int(q), int(s)) for q, s in zip(qpos, sidx) if q >= 0}
+
+    evals, eidx = (
+        np.asarray(x) for x in topk_dot_jnp(q_emb, s_emb, K, DIM)
+    )
+    q_windows = shingle_hashes(q_stream, SCFG)
+    checked = 0
+    for i in range(evals.shape[0]):
+        for j in range(K):
+            if evals[i, j] >= thr:
+                tm = int((q_windows[i] == windows[eidx[i, j]]).sum())
+                if tm >= 2:
+                    assert (i, int(eidx[i, j])) in got, (i, j, tm)
+                    checked += 1
+    assert checked > 50
+
+
+def test_attach_refuses_skewed_corpus(rng):
+    """A Zipf-skewed index (hot pair-buckets overflowing cap) must be
+    refused at attach time, not silently degrade recall."""
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.search.engine import SearchEngine
+    from fandom_search_tpu.search.index import build_script_index
+
+    # script whose lines repeat the same two words -> every pair bucket
+    # is hot
+    text = "\n".join(
+        f"ALICE: {' '.join(['of the'] * 6)}" for _ in range(30)
+    )
+    lines = parse_script(text)
+    index = build_script_index(lines, CFG.shingle, CFG.search)
+    eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    with pytest.raises(ValueError, match="too skewed"):
+        attach_bucketed_prefilter(eng, BCFG)
