@@ -8,10 +8,13 @@ probe always measures exactly the shape the bench records.
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/e2e_probe.py [n_works] [reps]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fandom_search_tpu.bench import make_e2e_world
 from fandom_search_tpu.search.engine import SearchEngine
@@ -28,9 +31,12 @@ def main():
         t0 = time.perf_counter()
         rows, stats = eng.search_works(works)
         dt = time.perf_counter() - t0
+        ex = stats.extra
         print(
             f"run {i}: {dt:.2f}s  submit={stats.seconds_device_topk:.2f} "
-            f"process={stats.seconds_host:.2f} rows={len(rows)} "
+            f"process={stats.seconds_host:.2f} "
+            f"batchgen={ex.get('s_batchgen', 0):.2f} "
+            f"pull={ex.get('s_pull', 0):.2f} rows={len(rows)} "
             f"shingles={stats.num_query_shingles}"
         )
 
