@@ -47,6 +47,10 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lookahead-batches", type=int, default=None,
                    help="batches in flight ahead of result consumption "
                         "(default 1)")
+    p.add_argument("--stream-compress", action="store_true", default=None,
+                   help="u16 vocab-id compression of the query-stream "
+                        "upload (halves wire bytes; wins only on "
+                        "bandwidth-bound links — see DESIGN.md §3)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the jnp fallback instead of Pallas kernels")
     p.add_argument("--interpret", action="store_true",
@@ -131,6 +135,7 @@ def _runtime_overrides(args) -> dict:
         ("chain_gap", "chain_gap"),
         ("batch_queries", "batch_queries"),
         ("lookahead_batches", "lookahead_batches"),
+        ("stream_compress", "stream_compress"),
     ):
         v = getattr(args, attr)
         if v is not None:

@@ -89,6 +89,19 @@ class SearchConfig:
     # multiple queued 4MB uploads amplify stall phases); may differ on
     # directly-attached hosts.
     lookahead_batches: int = 1
+    # u16 vocab-id compression of the fused-path stream upload: the
+    # host encodes tokens against a <=65,535-entry frequency-seeded
+    # table (search/vocab_stream.py) and the device reconstructs the
+    # exact u32 hashes with one gather + one patch scatter.  Lossless;
+    # out-of-table tokens ride a (pos, hash) patch list sized
+    # t_pad >> stream_patch_shift, and a batch whose misses overflow
+    # that budget falls back to the raw u32 upload.  Off by default:
+    # interleaved A/B on this box's tunnel measured 0.91x at 10k works
+    # (encode+decode overhead beats the saved bytes) and only 1.09x at
+    # 100k (DESIGN.md §3) — worth enabling on links where upload
+    # bandwidth, not latency phases, dominates.
+    stream_compress: bool = False
+    stream_patch_shift: int = 6
     # Smith-Waterman scoring (word-level local alignment)
     sw_match: float = 2.0
     sw_mismatch: float = -1.0

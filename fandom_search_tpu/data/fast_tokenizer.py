@@ -28,7 +28,7 @@ from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
 
 log = logging.getLogger(__name__)
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _lib_failed = False
@@ -99,6 +99,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint32),
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fs_encode_stream.restype = ctypes.c_int64
+    lib.fs_encode_stream.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint32,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int64,
     ]
     lib.fs_abi_version.restype = ctypes.c_int32
     if lib.fs_abi_version() != _ABI_VERSION:

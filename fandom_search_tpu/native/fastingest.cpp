@@ -136,7 +136,42 @@ int64_t fs_tokenize(const uint8_t* utf8, int64_t nbytes,
   return ntok;
 }
 
+// Encode a u32 hash stream against an open-addressing probe table
+// (search/vocab_stream.py keeps the table; the hashes are already
+// fmix32-finalized, so the probe index is just `key & mask` with
+// linear probing at load factor <= 0.5).
+//   stream/n   : input token hashes
+//   pk/pv      : probe keys / values, size mask+1 (power of two);
+//                pv[i] == 0xFFFFFFFF marks an empty slot (values are
+//                vocab ids <= 65534, so the marker is unambiguous)
+//   ids        : out, u16 vocab ids; 0xFFFF where the hash is not in
+//                the table ("miss")
+//   mpos/mhash : out, first `mcap` miss positions + hashes
+// Returns the TOTAL number of misses (may exceed mcap; the caller
+// compares against its patch budget and falls back to a raw upload).
+int64_t fs_encode_stream(const uint32_t* stream, int64_t n,
+                         const uint32_t* pk, const uint32_t* pv,
+                         uint32_t mask, uint16_t* ids,
+                         int64_t* mpos, uint32_t* mhash, int64_t mcap) {
+  int64_t nmiss = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t key = stream[i];
+    uint32_t p = key & mask;
+    uint32_t id = 0xFFFFu;
+    while (pv[p] != 0xFFFFFFFFu) {
+      if (pk[p] == key) { id = pv[p]; break; }
+      p = (p + 1) & mask;
+    }
+    ids[i] = (uint16_t)id;
+    if (id == 0xFFFFu) {
+      if (nmiss < mcap) { mpos[nmiss] = i; mhash[nmiss] = key; }
+      ++nmiss;
+    }
+  }
+  return nmiss;
+}
+
 // Version stamp so Python can detect stale binaries.
-int32_t fs_abi_version() { return 2; }
+int32_t fs_abi_version() { return 3; }
 
 }  // extern "C"

@@ -41,6 +41,7 @@ from fandom_search_tpu.search.chain import chain_hits_arrays
 from fandom_search_tpu.search.common import line_segment
 from fandom_search_tpu.search.index import ScriptIndex
 from fandom_search_tpu.search.types import MatchRow
+from fandom_search_tpu.search.vocab_stream import StreamVocab
 
 log = logging.getLogger(__name__)
 
@@ -242,6 +243,14 @@ class SearchEngine:
         self._line_start_d = _dev_i32(index.line_start)
         self._line_len_d = _dev_i32(index.line_lengths)
 
+        # u16 stream compression (search/vocab_stream.py): lossless
+        # halving of the fused path's upload payload, the e2e binding
+        # constraint on high-latency links (DESIGN.md §3).  Batch 1
+        # always goes raw and frequency-seeds the table.
+        self._venc = StreamVocab() if xcfg.stream_compress else None
+        self._vtab_dev = None
+        self._vtab_ver = -1
+
         # The fused path runs candidate gen + dedup + window building +
         # verification as ONE jit call per batch: one upload (stream +
         # span table) and one ~320KB pull (verified hits + counts) per
@@ -366,15 +375,19 @@ class SearchEngine:
         if cur:
             yield from self._flush(cur, t_pad)
 
-    @staticmethod
-    def _flush(items, t_pad_for):
+    def _flush(self, items, t_pad_for):
         """One batch: the device upload buffer is built HERE, once.
 
-        Layout: [stream tokens (t_pad) | span starts (nspans) |
+        Raw layout: u32 [stream tokens (t_pad) | span starts (nspans) |
         span lens (nspans)] — the exact ext array the fused call
         uploads, so _submit_fused never re-copies the 4MB stream.
-        Unused span slots hold a large sentinel start (keeps the
-        device-side searchsorted monotone) and zero length.
+        When the vocab encoder is warm and the batch's out-of-table
+        tokens fit the patch budget, _encode_payload swaps the stream
+        section for [packed u16 ids | patch pos | patch hash] and the
+        device reconstructs the exact stream (_decode_stream_jit) —
+        ~0.56-0.63x the wire bytes.  Unused span slots hold a large
+        sentinel start (keeps the device-side searchsorted monotone)
+        and zero length.
         """
         tokens = sum(len(tk) for _, tk, _ in items)
         t_pad = t_pad_for(tokens)
@@ -383,20 +396,73 @@ class SearchEngine:
         # (~90s on a remote-compile tunnel); 512 covers works >= ~512
         # tokens at any batch size and costs only 4KB of upload
         nspans = _next_pow2(len(items), 512)
-        ext = np.zeros((t_pad + 2 * nspans,), dtype=np.uint32)
-        ext[t_pad : t_pad + nspans] = 1 << 30
+        stream = np.zeros((t_pad,), dtype=np.uint32)
+        sp = np.zeros((2 * nspans,), dtype=np.uint32)
+        sp[:nspans] = 1 << 30
         spans = []
         off = 0
         fresh_total = 0
         for j, (wid, tk, fresh) in enumerate(items):
             m = len(tk)
-            ext[off : off + m] = tk.hashes
-            ext[t_pad + j] = off
-            ext[t_pad + nspans + j] = m
+            stream[off : off + m] = tk.hashes
+            sp[j] = off
+            sp[nspans + j] = m
             spans.append((wid, off, m))
             off += m
             fresh_total += max(0, fresh)
-        yield [w for w, _, _ in spans], ext, t_pad, spans, fresh_total
+        payload = self._encode_payload(stream, off, sp, t_pad, nspans)
+        yield [w for w, _, _ in spans], payload, spans, fresh_total
+
+    def _encode_payload(self, stream, valid, sp, t_pad, nspans):
+        """("enc", c_ext, t_pad, p_pad, nspans) | ("raw", ext, t_pad, nspans).
+
+        The compressed layout (all u32): [packed u16 ids (ceil(t_pad/2))
+        | patch positions (p_pad, padded with t_pad so the decode
+        scatter drops them) | patch hashes (p_pad) | span table
+        (2*nspans)].  Only the fused path decodes, so the two-stage
+        path (sharded candidates / LSH prefilter) always gets raw.
+        """
+        venc = self._venc
+        if venc is not None and self._use_fused:
+            if venc.ready:
+                p_pad = max(
+                    4096, t_pad >> self.cfg.search.stream_patch_shift
+                )
+                ids, mpos, mhash, total = venc.encode(
+                    stream, miss_cap=p_pad
+                )
+                if total <= p_pad:
+                    # admit this batch's misses for FUTURE batches (the
+                    # current one patches them regardless)
+                    venc.admit(mhash)
+                    h = (t_pad + 1) // 2
+                    if t_pad % 2:
+                        ids = np.concatenate(
+                            [ids, np.zeros(1, np.uint16)]
+                        )
+                    c_ext = np.empty(
+                        (h + 2 * p_pad + 2 * nspans,), np.uint32
+                    )
+                    c_ext[:h] = ids.view(np.uint32)
+                    c_ext[h : h + p_pad] = t_pad
+                    c_ext[h : h + mpos.size] = mpos
+                    c_ext[h + p_pad : h + 2 * p_pad] = 0
+                    c_ext[h + p_pad : h + p_pad + mhash.size] = mhash
+                    c_ext[h + 2 * p_pad :] = sp
+                    return ("enc", c_ext, t_pad, p_pad, nspans)
+                # heavy-miss batch: upload raw, learn its frequencies
+                venc.admit_counted(stream[:valid])
+            else:
+                venc.bootstrap(stream[:valid])
+        return ("raw", np.concatenate([stream, sp]), t_pad, nspans)
+
+    def _vocab_table_dev(self):
+        """Device copy of the vocab gather table, re-uploaded (256KB)
+        only when the table grew since the last upload."""
+        if self._vtab_dev is None or self._vtab_ver != self._venc.version:
+            self._vtab_dev = jax.device_put(jnp.asarray(self._venc.table()))
+            self._vtab_ver = self._venc.version
+        return self._vtab_dev
 
     # -- search ------------------------------------------------------------
 
@@ -446,15 +512,16 @@ class SearchEngine:
             )
             if nxt is None:
                 break
-            wids, ext, t_pad, spans, fresh = nxt
+            wids, payload, spans, fresh = nxt
             stats.num_batches += 1
             stats.num_query_shingles += fresh
             if self._use_fused:
-                pending.append(self._submit_fused(ext, t_pad, spans, stats))
+                pending.append(self._submit_fused(payload, spans, stats))
                 if len(pending) > lookahead:
                     self._process_fused(*pending.pop(0), stats, acc)
                 continue
             t0 = time.perf_counter()
+            ext, t_pad = payload[1], payload[2]   # always "raw" here
             stream_dev = jnp.asarray(ext[:t_pad])
             out = self._candidates_fn(
                 stream_dev, self._s_emb_padded, self._ns_valid, self._mults,
@@ -544,10 +611,20 @@ class SearchEngine:
             use_pallas=self.use_pallas, interpret=self.interpret,
         )
 
-    def _submit_fused(self, ext, t_pad, spans, stats: EngineStats):
+    def _submit_fused(self, payload, spans, stats: EngineStats):
         t0 = time.perf_counter()
-        nspans = (ext.shape[0] - t_pad) // 2
-        ext_dev = jnp.asarray(ext)  # ONE upload per batch (built by _flush)
+        if payload[0] == "enc":
+            _, c_ext, t_pad, p_pad, nspans = payload
+            # ONE (compressed) upload per batch; the decode jit hands
+            # the unchanged fused call its usual u32 stream_ext, so
+            # budget retries and the sharded fused path are untouched.
+            ext_dev = _decode_stream_jit(
+                jnp.asarray(c_ext), self._vocab_table_dev(),
+                t_pad=t_pad, p_pad=p_pad, nspans=nspans,
+            )
+        else:
+            _, ext, t_pad, nspans = payload
+            ext_dev = jnp.asarray(ext)  # ONE upload per batch
         out = self._fused_call(
             ext_dev, nspans, self._cand_budget, self._verify_budget
         )
@@ -764,6 +841,25 @@ class SearchEngine:
 # ---------------------------------------------------------------------------
 # jitted device functions (module-level so the cache is shared)
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("t_pad", "p_pad", "nspans"))
+def _decode_stream_jit(c_ext, table, *, t_pad, p_pad, nspans):
+    """Reconstruct the raw u32 [t_pad + 2*nspans] stream_ext from a
+    compressed upload (SearchEngine._encode_payload): unpack the
+    little-endian-packed u16 ids, gather the vocab table, scatter the
+    out-of-table patches (pad slots target index t_pad, which
+    mode="drop" discards), and re-append the span table verbatim.
+    Bit-exact by construction — every id either hits the table entry
+    holding its original hash or is overwritten by its patch."""
+    h = (t_pad + 1) // 2
+    v = c_ext[:h]
+    ids = jnp.stack([v & 0xFFFF, v >> 16], axis=1).reshape(-1)[:t_pad]
+    toks = table[ids]
+    ppos = c_ext[h : h + p_pad].astype(jnp.int32)
+    phash = c_ext[h + p_pad : h + 2 * p_pad]
+    toks = toks.at[ppos].set(phash, mode="drop")
+    return jnp.concatenate([toks, c_ext[h + 2 * p_pad :]])
 
 
 def nonzero_compact(mask, size: int):

@@ -165,7 +165,9 @@ def test_stream_buckets_scale_with_content(world):
     def tpads_for(total_tokens):
         text = " ".join(f"w{i % 97}" for i in range(total_tokens))
         items = sorted(tokenize_many({"w0": text}).items())
-        return [t for _, _, t, _, _ in eng._batches(items)]
+        # payload is ("enc", c_ext, t_pad, p_pad, nspans) or
+        # ("raw", ext, t_pad, nspans); t_pad is [2] in both.
+        return [p[2] for _, p, _, _ in eng._batches(items)]
 
     # under one granule -> minimum bucket
     (t1,) = tpads_for(g // 2)
