@@ -96,10 +96,10 @@ class SearchConfig:
     # out-of-table tokens ride a (pos, hash) patch list sized
     # t_pad >> stream_patch_shift, and a batch whose misses overflow
     # that budget falls back to the raw u32 upload.  Off by default:
-    # interleaved A/B on this box's tunnel measured 0.91x at 10k works
-    # (encode+decode overhead beats the saved bytes) and only 1.09x at
-    # 100k (DESIGN.md §3) — worth enabling on links where upload
-    # bandwidth, not latency phases, dominates.
+    # interleaved A/B on this box's tunnel measured 0.99x at 10k works
+    # (decode inlined into the fused call) and 1.09x at 100k
+    # (DESIGN.md §3) — worth enabling on links where upload bandwidth,
+    # not latency phases, dominates.
     stream_compress: bool = False
     stream_patch_shift: int = 6
     # Smith-Waterman scoring (word-level local alignment)

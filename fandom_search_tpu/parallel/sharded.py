@@ -327,3 +327,18 @@ class ShardedSearchEngine(SearchEngine):
             ext_dev, cand_budget=cand_budget, verify_budget=verify_budget,
             nspans=nspans,
         )
+
+    def _fused_call_enc(
+        self, c_dev, t_pad, p_pad, nspans, cand_budget, verify_budget
+    ):
+        # The sharded fused call shards its stream input; decode the
+        # compressed upload in a standalone step rather than inlining
+        # it into the shard_map (the single extra dispatch only matters
+        # on high-latency single-chip links — see engine._fused_enc_jit).
+        from fandom_search_tpu.search.engine import _decode_stream_jit
+
+        ext_dev = _decode_stream_jit(
+            c_dev, self._vocab_table_dev(),
+            t_pad=t_pad, p_pad=p_pad, nspans=nspans,
+        )
+        return self._fused_call(ext_dev, nspans, cand_budget, verify_budget)

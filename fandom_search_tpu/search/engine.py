@@ -615,21 +615,20 @@ class SearchEngine:
         t0 = time.perf_counter()
         if payload[0] == "enc":
             _, c_ext, t_pad, p_pad, nspans = payload
-            # ONE (compressed) upload per batch; the decode jit hands
-            # the unchanged fused call its usual u32 stream_ext, so
-            # budget retries and the sharded fused path are untouched.
-            ext_dev = _decode_stream_jit(
-                jnp.asarray(c_ext), self._vocab_table_dev(),
-                t_pad=t_pad, p_pad=p_pad, nspans=nspans,
+            # ONE compressed upload AND one dispatch per batch: the
+            # decode is inlined into the fused call (_fused_enc_jit);
+            # `call` re-invokes it for budget-overflow retries.
+            c_dev = jnp.asarray(c_ext)
+            call = functools.partial(
+                self._fused_call_enc, c_dev, t_pad, p_pad, nspans
             )
         else:
             _, ext, t_pad, nspans = payload
             ext_dev = jnp.asarray(ext)  # ONE upload per batch
-        out = self._fused_call(
-            ext_dev, nspans, self._cand_budget, self._verify_budget
-        )
+            call = functools.partial(self._fused_call, ext_dev, nspans)
+        out = call(self._cand_budget, self._verify_budget)
         stats.seconds_device_topk += time.perf_counter() - t0
-        return ext_dev, spans, nspans, self._cand_budget, self._verify_budget, out
+        return call, spans, nspans, self._cand_budget, self._verify_budget, out
 
     def _fused_call(self, ext_dev, nspans, cand_budget, verify_budget):
         return _fused_jit(
@@ -638,8 +637,18 @@ class SearchEngine:
             nspans=nspans, **self._fused_statics(),
         )
 
+    def _fused_call_enc(
+        self, c_dev, t_pad, p_pad, nspans, cand_budget, verify_budget
+    ):
+        return _fused_enc_jit(
+            c_dev, self._vocab_table_dev(), *self._fused_args(),
+            cand_budget=cand_budget, verify_budget=verify_budget,
+            nspans=nspans, t_pad=t_pad, p_pad=p_pad,
+            **self._fused_statics(),
+        )
+
     def _process_fused(
-        self, ext_dev, spans, nspans, cand_budget, verify_budget, out,
+        self, call, spans, nspans, cand_budget, verify_budget, out,
         stats: EngineStats, acc: _HitAccumulator,
     ) -> None:
         scfg = self.cfg.shingle
@@ -668,9 +677,7 @@ class SearchEngine:
                 "budgets %d/%d", cand_count, uniq_count,
                 cand_budget, verify_budget,
             )
-            out = self._fused_call(
-                ext_dev, nspans, cand_budget, verify_budget
-            )
+            out = call(cand_budget, verify_budget)
         ver_count = int(host[4, 2])
         stats.num_candidates += uniq_count
 
@@ -843,15 +850,16 @@ class SearchEngine:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("t_pad", "p_pad", "nspans"))
-def _decode_stream_jit(c_ext, table, *, t_pad, p_pad, nspans):
+def _decode_stream(c_ext, table, *, t_pad, p_pad, nspans):
     """Reconstruct the raw u32 [t_pad + 2*nspans] stream_ext from a
     compressed upload (SearchEngine._encode_payload): unpack the
     little-endian-packed u16 ids, gather the vocab table, scatter the
     out-of-table patches (pad slots target index t_pad, which
     mode="drop" discards), and re-append the span table verbatim.
     Bit-exact by construction — every id either hits the table entry
-    holding its original hash or is overwritten by its patch."""
+    holding its original hash or is overwritten by its patch.
+    Inlined into _fused_enc_jit on the hot path; the standalone
+    ``_decode_stream_jit`` serves the sharded engine and tests."""
     h = (t_pad + 1) // 2
     v = c_ext[:h]
     ids = jnp.stack([v & 0xFFFF, v >> 16], axis=1).reshape(-1)[:t_pad]
@@ -860,6 +868,11 @@ def _decode_stream_jit(c_ext, table, *, t_pad, p_pad, nspans):
     phash = c_ext[h + p_pad : h + 2 * p_pad]
     toks = toks.at[ppos].set(phash, mode="drop")
     return jnp.concatenate([toks, c_ext[h + 2 * p_pad :]])
+
+
+_decode_stream_jit = functools.partial(
+    jax.jit, static_argnames=("t_pad", "p_pad", "nspans")
+)(_decode_stream)
 
 
 def nonzero_compact(mask, size: int):
@@ -977,14 +990,7 @@ def _candidates_jit(stream, s_emb_padded, ns_valid, mults, *, k, dim,
     return compact_candidates(vals, idx, threshold, ns_valid, k, max_out)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "dim", "shingle_cfg", "search_cfg", "use_pallas", "interpret",
-        "cand_budget", "verify_budget", "nspans",
-    ),
-)
-def _fused_jit(
+def _fused_impl(
     stream_ext,      # uint32 [T_pad + 2*nspans]: stream | starts | lens
     s_emb_padded, ns_valid, mults,
     script_stream, shingle_line, shingle_anchor, line_start, line_len,
@@ -1032,6 +1038,46 @@ def _fused_jit(
         script_stream, shingle_line, shingle_anchor, line_start, line_len,
         n=n, dim=dim, search_cfg=search_cfg, verify_budget=verify_budget,
         nspans=nspans, verify_impl=verify_impl,
+    )
+
+
+_fused_jit = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "dim", "shingle_cfg", "search_cfg", "use_pallas", "interpret",
+        "cand_budget", "verify_budget", "nspans",
+    ),
+)(_fused_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "dim", "shingle_cfg", "search_cfg", "use_pallas", "interpret",
+        "cand_budget", "verify_budget", "nspans", "t_pad", "p_pad",
+    ),
+)
+def _fused_enc_jit(
+    c_ext,           # compressed upload (engine._encode_payload layout)
+    table,           # uint32 [65536] vocab gather table
+    s_emb_padded, ns_valid, mults,
+    script_stream, shingle_line, shingle_anchor, line_start, line_len,
+    *, k, dim, shingle_cfg, search_cfg, use_pallas, interpret,
+    cand_budget, verify_budget, nspans, t_pad, p_pad,
+):
+    """Compressed-upload fused batch: reconstruct the u32 stream_ext
+    on device, then run the identical fused pipeline — ONE dispatch
+    per batch (a separate decode call costs an extra dispatch per
+    batch, which on a ~30 ms-latency link is real money)."""
+    stream_ext = _decode_stream(
+        c_ext, table, t_pad=t_pad, p_pad=p_pad, nspans=nspans
+    )
+    return _fused_impl(
+        stream_ext, s_emb_padded, ns_valid, mults,
+        script_stream, shingle_line, shingle_anchor, line_start, line_len,
+        k=k, dim=dim, shingle_cfg=shingle_cfg, search_cfg=search_cfg,
+        use_pallas=use_pallas, interpret=interpret,
+        cand_budget=cand_budget, verify_budget=verify_budget, nspans=nspans,
     )
 
 

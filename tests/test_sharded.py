@@ -229,3 +229,30 @@ def test_sharded_engine_with_bucketed_prefilter(world):
     key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
     assert {key(r) for r in got} == {key(r) for r in want}
     assert stats.num_verified > 0
+
+
+def test_sharded_engine_with_stream_compression(world):
+    """Compressed uploads decode before the sharded fused call
+    (ShardedSearchEngine._fused_call_enc): rows identical to the
+    uncompressed sharded engine across multiple batches."""
+    lines, works, planted = world
+    cfg = PipelineConfig(mesh=MeshConfig(works=4, script=2))
+    index = build_script_index(lines, cfg.shingle, cfg.search)
+
+    def run(compress):
+        c = dataclasses.replace(
+            cfg, search=dataclasses.replace(
+                cfg.search, batch_queries=4 * 512, stream_compress=compress
+            )
+        )
+        eng = ShardedSearchEngine(index, c, use_pallas=False)
+        rows, stats = eng.search_works(works)
+        return rows, stats, eng
+
+    rows_off, _, _ = run(False)
+    rows_on, stats_on, eng_on = run(True)
+    assert stats_on.num_batches > 1  # encoded path exercised past bootstrap
+    assert eng_on._venc is not None and eng_on._venc.ready
+    key = lambda r: (r.work_id, r.fan_token_start, r.fan_token_end,
+                     r.line_no, round(r.score, 4), round(r.verify_score, 4))
+    assert sorted(map(key, rows_on)) == sorted(map(key, rows_off))
