@@ -561,12 +561,19 @@ def main(argv=None) -> int:
             )
             log(f"scale corpus: {scale_works} works built in "
                 f"{time.perf_counter()-t0:.1f}s")
-            t0 = time.perf_counter()
-            rows_big, stats_big = eng.search_works(works_big)
-            dt_big = time.perf_counter() - t0
+            # best-of-N like the 10k e2e: a single pass can land in a
+            # slow link phase (observed 86-150 s for identical work)
+            scale_reps = int(os.environ.get("BENCH_SCALE_REPS", 2))
+            scale_runs = []
+            for _ in range(scale_reps):
+                t0 = time.perf_counter()
+                rows_big, stats_big = eng.search_works(works_big)
+                scale_runs.append(time.perf_counter() - t0)
+            dt_big = min(scale_runs)
             details.update({
                 "scale_works": scale_works,
                 "scale_seconds": dt_big,
+                "scale_seconds_runs": scale_runs,
                 "scale_query_shingles": stats_big.num_query_shingles,
                 "scale_matches": len(rows_big),
                 "scale_pairs_per_sec": stats_big.shingle_pairs / dt_big,

@@ -7,6 +7,7 @@ Subcommands (verbs match the reference's argparse driver):
   getmeta  — extract work metadata into one CSV
   format   — parse a source script into (line_no, speaker, text) CSV
   search   — find quotations of the script inside the corpus (TPU)
+  serve    — persistent HTTP search service (resident index, warm engine)
   matrix   — aggregate matches into per-line engagement counts
   bench    — run the standard benchmark and print one JSON line
 """
@@ -288,19 +289,8 @@ def cmd_index(args) -> int:
     return 0
 
 
-def _run_search(args, cfg, lines, index, works):
-    """Dispatch one search run; returns (rows, stats_dict)."""
-    if args.reference:
-        from fandom_search_tpu.search.reference_pipeline import ReferenceSearch
-
-        ref = ReferenceSearch(lines, cfg)
-        rows, stats = ref.search_works(works)
-        return rows, dataclasses.asdict(stats)
-    if args.oracle:
-        from fandom_search_tpu.search.oracle import search_works_oracle
-
-        rows, stats = search_works_oracle(works, index, cfg)
-        return rows, dataclasses.asdict(stats)
+def _build_engine(args, cfg, index):
+    """TPU engine with the flags' prefilters attached (search/serve)."""
     import jax
 
     # Pallas kernels only run in interpret mode on the CPU backend;
@@ -343,6 +333,23 @@ def _run_search(args, cfg, lines, index, works):
 
             prebuilt_b = load_bucketed(Path(args.index), cfg.bucketed)
         attach_bucketed_prefilter(eng, cfg.bucketed, bidx=prebuilt_b)
+    return eng
+
+
+def _run_search(args, cfg, lines, index, works):
+    """Dispatch one search run; returns (rows, stats_dict)."""
+    if args.reference:
+        from fandom_search_tpu.search.reference_pipeline import ReferenceSearch
+
+        ref = ReferenceSearch(lines, cfg)
+        rows, stats = ref.search_works(works)
+        return rows, dataclasses.asdict(stats)
+    if args.oracle:
+        from fandom_search_tpu.search.oracle import search_works_oracle
+
+        rows, stats = search_works_oracle(works, index, cfg)
+        return rows, dataclasses.asdict(stats)
+    eng = _build_engine(args, cfg, index)
     if args.resume_dir:
         from fandom_search_tpu.search.runner import ResumableRunner
 
@@ -462,6 +469,59 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Persistent search service (search/server.py): load or build the
+    index once, keep the engine warm, answer HTTP/JSON queries."""
+    if getattr(args, "oracle", False) or getattr(args, "reference", False):
+        print("error: serve runs the TPU engine (no --oracle/--reference)",
+              file=sys.stderr)
+        return 2
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    _maybe_multihost(args)
+    from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.search.server import SearchService, make_server
+
+    if args.index:
+        from fandom_search_tpu.search.persist import load_index
+
+        index, cfg = load_index(Path(args.index))
+        cfg = _overlay_runtime(cfg, args)
+        lines = index.lines
+    else:
+        if not args.script:
+            print("error: provide a script file or --index", file=sys.stderr)
+            return 2
+        from fandom_search_tpu.search.index import build_script_index
+
+        cfg = _pipeline_config(args)
+        lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
+        index = build_script_index(lines, cfg.shingle, cfg.search)
+
+    service = SearchService(_build_engine(args, cfg, index), index, cfg)
+    if not args.no_warm:
+        dt = service.warm()
+        print(f"warmup search: {dt:.1f}s", file=sys.stderr)
+    srv = make_server(service, args.host, args.port)
+    print(
+        f"serving {len(lines)} script lines ({index.num_shingles} shingles) "
+        f"on http://{args.host}:{srv.server_address[1]} "
+        f"(GET /health, GET /stats, POST /search)", file=sys.stderr,
+    )
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down", file=sys.stderr)
+    finally:
+        srv.server_close()
+    return 0
+
+
 def cmd_matrix(args) -> int:
     from fandom_search_tpu.data.script_parser import parse_script
     from fandom_search_tpu.search.report import (
@@ -542,6 +602,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write a jax.profiler trace to this dir")
     _add_search_flags(qp)
     qp.set_defaults(fn=cmd_search)
+
+    vp = sub.add_parser(
+        "serve",
+        help="persistent search service (resident index, warm engine)",
+    )
+    vp.add_argument("script", nargs="?", default=None,
+                    help="source script file (or use --index)")
+    vp.add_argument("--index", default=None,
+                    help="persisted index dir (from `index`)")
+    vp.add_argument("--host", default="127.0.0.1",
+                    help="bind address (default 127.0.0.1)")
+    vp.add_argument("--port", type=int, default=8765)
+    vp.add_argument("--no-warm", action="store_true",
+                    help="skip the warmup search (first request compiles)")
+    _add_search_flags(vp)
+    vp.set_defaults(fn=cmd_serve)
 
     xp = sub.add_parser("matrix", help="per-line engagement aggregation")
     xp.add_argument("matches", help="matches CSV from `search`")
