@@ -223,6 +223,57 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def _parse_script_lines(paths):
+    """Parse one or many script files into one line list.
+
+    Multi-script: line numbers are renumbered globally and each line
+    labeled with its file's stem — the same order/labeling
+    ``concat_indexes`` produces, so `matrix --script a.txt b.txt`
+    agrees with a multi-script search's line_no space.
+    """
+    from fandom_search_tpu.data.script_parser import parse_script
+
+    paths = [paths] if isinstance(paths, (str, Path)) else list(paths)
+    if len(paths) == 1:
+        return parse_script(Path(paths[0]).read_text(encoding="utf-8"))
+    names = [Path(p).stem for p in paths]
+    if len(set(names)) != len(names):
+        raise SystemExit(f"error: duplicate script names: {names}")
+    lines, off = [], 0
+    for p, name in zip(paths, names):
+        part = parse_script(Path(p).read_text(encoding="utf-8"))
+        lines.extend(
+            dataclasses.replace(ln, line_no=off + ln.line_no, script=name)
+            for ln in part
+        )
+        off += len(part)
+    return lines
+
+
+def _build_index_from_scripts(paths, cfg):
+    """(lines, index) for one script file or a multi-script set."""
+    from fandom_search_tpu.data.script_parser import parse_script
+    from fandom_search_tpu.search.index import (
+        build_script_index, concat_indexes,
+    )
+
+    paths = [paths] if isinstance(paths, (str, Path)) else list(paths)
+    if len(paths) == 1:
+        lines = parse_script(Path(paths[0]).read_text(encoding="utf-8"))
+        return lines, build_script_index(lines, cfg.shingle, cfg.search)
+    names = [Path(p).stem for p in paths]
+    if len(set(names)) != len(names):
+        raise SystemExit(f"error: duplicate script names: {names}")
+    parts = []
+    for p, name in zip(paths, names):
+        part_lines = parse_script(Path(p).read_text(encoding="utf-8"))
+        parts.append(
+            (name, build_script_index(part_lines, cfg.shingle, cfg.search))
+        )
+    index = concat_indexes(parts)
+    return index.lines, index
+
+
 def cmd_getmeta(args) -> int:
     from fandom_search_tpu.scrape.clean import write_metadata_csv
 
@@ -254,13 +305,10 @@ def cmd_index(args) -> int:
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    from fandom_search_tpu.data.script_parser import parse_script
-    from fandom_search_tpu.search.index import build_script_index
     from fandom_search_tpu.search.persist import save_index
 
     cfg = _pipeline_config(args)
-    lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
-    index = build_script_index(lines, cfg.shingle, cfg.search)
+    lines, index = _build_index_from_scripts(args.script, cfg)
     save_index(index, cfg, Path(args.out))
     if args.lsh:
         from fandom_search_tpu.ops.lsh import LSHIndex
@@ -372,9 +420,7 @@ def cmd_search(args) -> int:
 
     enable_persistent_cache()
 
-    from fandom_search_tpu.data.script_parser import parse_script
     from fandom_search_tpu.scrape.clean import load_works_dir
-    from fandom_search_tpu.search.index import build_script_index
     from fandom_search_tpu.search.report import (
         write_matches_csv, write_matches_parquet,
     )
@@ -388,11 +434,10 @@ def cmd_search(args) -> int:
         lines = index.lines
     else:
         if not args.script:
-            print("error: provide a script file or --index", file=sys.stderr)
+            print("error: provide script file(s) or --index", file=sys.stderr)
             return 2
         cfg = _pipeline_config(args)
-        lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
-        index = build_script_index(lines, cfg.shingle, cfg.search)
+        lines, index = _build_index_from_scripts(args.script, cfg)
     works = load_works_dir(Path(args.fanworks))
     t_prep = time.perf_counter() - t0
 
@@ -484,7 +529,6 @@ def cmd_serve(args) -> int:
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    from fandom_search_tpu.data.script_parser import parse_script
     from fandom_search_tpu.search.server import SearchService, make_server
 
     if args.index:
@@ -495,13 +539,10 @@ def cmd_serve(args) -> int:
         lines = index.lines
     else:
         if not args.script:
-            print("error: provide a script file or --index", file=sys.stderr)
+            print("error: provide script file(s) or --index", file=sys.stderr)
             return 2
-        from fandom_search_tpu.search.index import build_script_index
-
         cfg = _pipeline_config(args)
-        lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
-        index = build_script_index(lines, cfg.shingle, cfg.search)
+        lines, index = _build_index_from_scripts(args.script, cfg)
 
     service = SearchService(_build_engine(args, cfg, index), index, cfg)
     if not args.no_warm:
@@ -523,7 +564,6 @@ def cmd_serve(args) -> int:
 
 
 def cmd_matrix(args) -> int:
-    from fandom_search_tpu.data.script_parser import parse_script
     from fandom_search_tpu.search.report import (
         aggregate_matrix, read_matches_csv, write_matrix_csv,
     )
@@ -531,7 +571,7 @@ def cmd_matrix(args) -> int:
     rows = read_matches_csv(Path(args.matches))
     lines = None
     if args.script:
-        lines = parse_script(Path(args.script).read_text(encoding="utf-8"))
+        lines = _parse_script_lines(args.script)
     records = aggregate_matrix(rows, lines)
     write_matrix_csv(records, Path(args.out))
     print(f"aggregated {len(rows)} matches over {len(records)} lines",
@@ -583,15 +623,19 @@ def build_parser() -> argparse.ArgumentParser:
     fp.set_defaults(fn=cmd_format)
 
     ip = sub.add_parser("index", help="build + persist the script index")
-    ip.add_argument("script")
+    ip.add_argument("script", nargs="+",
+                    help="script file(s); several build one multi-script "
+                         "index with per-script match attribution")
     ip.add_argument("-o", "--out", required=True)
     _add_search_flags(ip)
     ip.set_defaults(fn=cmd_index)
 
     qp = sub.add_parser("search", help="search the corpus for script quotes")
     qp.add_argument("fanworks", help="dir of cleaned .txt (or .html) works")
-    qp.add_argument("script", nargs="?", default=None,
-                    help="source script file (or use --index)")
+    qp.add_argument("script", nargs="*", default=None,
+                    help="source script file(s) — several search one "
+                         "multi-script index in one corpus pass (or "
+                         "use --index)")
     qp.add_argument("-o", "--out", required=True)
     qp.add_argument("--parquet", action="store_true")
     qp.add_argument("--index", default=None,
@@ -607,8 +651,8 @@ def build_parser() -> argparse.ArgumentParser:
         "serve",
         help="persistent search service (resident index, warm engine)",
     )
-    vp.add_argument("script", nargs="?", default=None,
-                    help="source script file (or use --index)")
+    vp.add_argument("script", nargs="*", default=None,
+                    help="source script file(s) (or use --index)")
     vp.add_argument("--index", default=None,
                     help="persisted index dir (from `index`)")
     vp.add_argument("--host", default="127.0.0.1",
@@ -622,7 +666,9 @@ def build_parser() -> argparse.ArgumentParser:
     xp = sub.add_parser("matrix", help="per-line engagement aggregation")
     xp.add_argument("matches", help="matches CSV from `search`")
     xp.add_argument("-o", "--out", required=True)
-    xp.add_argument("--script", default=None)
+    xp.add_argument("--script", nargs="+", default=None,
+                    help="script file(s) for line text/speaker columns "
+                         "(same order as the search)")
     xp.set_defaults(fn=cmd_matrix)
 
     bp = sub.add_parser("bench", help="run the standard benchmark")

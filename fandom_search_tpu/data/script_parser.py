@@ -35,6 +35,7 @@ class ScriptLine:
     line_no: int      # 0-based index into the parsed record list
     speaker: str      # "" when the text is not attributed dialogue
     text: str
+    script: str = ""  # source-script name in a multi-script index
 
 
 def _looks_tagged(lines: List[str]) -> bool:

@@ -141,4 +141,5 @@ def _emit(
         score=round(float(score), 4),
         verify_score=round(float(verify), 4),
         num_shingles=count,
+        script=index.script_of(line_no),
     )

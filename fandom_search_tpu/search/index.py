@@ -19,7 +19,7 @@ per-line precision without truncating long lines.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import numpy as np
 
@@ -51,6 +51,9 @@ class ScriptIndex:
 
     def speaker(self, line_no: int) -> str:
         return self.lines[line_no].speaker
+
+    def script_of(self, line_no: int) -> str:
+        return self.lines[line_no].script
 
 
 def build_script_index(
@@ -108,4 +111,67 @@ def build_script_index(
         embeddings=emb,
         line_start=line_start,
         line_lengths=line_lengths,
+    )
+
+
+def concat_indexes(
+    parts: Sequence[Tuple[str, "ScriptIndex"]],
+) -> ScriptIndex:
+    """One multi-script index from per-script indexes (one corpus pass
+    for a whole franchise — and on upload-bound links, ONE corpus
+    upload amortized over every script).
+
+    Each part keeps its own shingle set — built on its own token
+    stream, so no cross-script shingles exist — and the arrays
+    concatenate with offset fixups: line numbers shift by the running
+    line count, ``line_start`` by the running token count.
+    ``shingle_anchor`` is offset-invariant (both its terms shift
+    equally), and no consumer uses a script-shingle index as a stream
+    offset (verification gathers via line_start + anchor), so every
+    downstream contract — engine, oracle, sharded, persistence —
+    holds on the concatenated arrays unchanged.  Match rows report
+    the owning script via ``ScriptLine.script`` / ``MatchRow.script``.
+    """
+    import dataclasses as _dc
+
+    if not parts:
+        raise ValueError("concat_indexes needs at least one script")
+    names = [n for n, _ in parts]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate script names: {names}")
+    lines: List[ScriptLine] = []
+    line_off = 0
+    for name, idx in parts:
+        for ln in idx.lines:
+            lines.append(_dc.replace(
+                ln, line_no=line_off + ln.line_no, script=name
+            ))
+        line_off += len(idx.lines)
+
+    def cat(field, off_field=None):
+        arrs = []
+        off = 0
+        for _, idx in parts:
+            a = getattr(idx, field)
+            arrs.append(a + off if off_field else a)
+            if off_field == "lines":
+                off += len(idx.lines)
+            elif off_field == "tokens":
+                off += len(idx.stream_hashes)
+        return (
+            np.concatenate(arrs) if arrs[0].ndim == 1
+            else np.concatenate(arrs, axis=0)
+        )
+
+    return ScriptIndex(
+        lines=lines,
+        tokenized=[t for _, idx in parts for t in idx.tokenized],
+        stream_hashes=cat("stream_hashes"),
+        token_line=cat("token_line", "lines").astype(np.int32),
+        shingle_line=cat("shingle_line", "lines").astype(np.int32),
+        shingle_anchor=cat("shingle_anchor"),
+        shingle_windows=cat("shingle_windows"),
+        embeddings=cat("embeddings"),
+        line_start=cat("line_start", "tokens").astype(np.int32),
+        line_lengths=cat("line_lengths"),
     )

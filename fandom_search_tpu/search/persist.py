@@ -52,7 +52,8 @@ def save_index(index: ScriptIndex, cfg: PipelineConfig, path: str | Path) -> Non
     meta = {
         "version": _VERSION,
         "lines": [
-            {"line_no": ln.line_no, "speaker": ln.speaker, "text": ln.text}
+            {"line_no": ln.line_no, "speaker": ln.speaker, "text": ln.text,
+             "script": ln.script}
             for ln in index.lines
         ],
         "shingle": dataclasses.asdict(cfg.shingle),
@@ -75,7 +76,8 @@ def load_index(path: str | Path) -> Tuple[ScriptIndex, PipelineConfig]:
     ckptr = ocp.PyTreeCheckpointer()
     arrays = ckptr.restore(path / "arrays")
     lines = [
-        ScriptLine(d["line_no"], d["speaker"], d["text"]) for d in meta["lines"]
+        ScriptLine(d["line_no"], d["speaker"], d["text"], d.get("script", ""))
+        for d in meta["lines"]
     ]
     tokenized = [tokenize(ln.text) for ln in lines]
     index = ScriptIndex(

@@ -51,18 +51,28 @@ def aggregate_matrix(
     """
     counts: Counter = Counter()
     works: Dict[int, set] = {}
+    scripts: Dict[int, str] = {}
     for r in match_rows:
         if isinstance(r, MatchRow):
-            line_no, wid = r.line_no, r.work_id
+            line_no, wid, script = r.line_no, r.work_id, r.script
         else:
             line_no, wid = int(r["line_no"]), r["work_id"]
+            script = r.get("script", "")
         counts[line_no] += 1
         works.setdefault(line_no, set()).add(wid)
+        if script:
+            scripts[line_no] = script
 
     line_range = (
         range(len(script_lines))
         if script_lines is not None
         else sorted(counts)
+    )
+    # line_no is globally unique even in a multi-script index
+    # (concat_indexes renumbers), so grouping stays per line; the
+    # script column rides along when any row carries one.
+    multi = bool(scripts) or (
+        script_lines is not None and any(ln.script for ln in script_lines)
     )
     out = []
     for ln in line_range:
@@ -71,6 +81,12 @@ def aggregate_matrix(
             "matches": counts.get(ln, 0),
             "distinct_works": len(works.get(ln, ())),
         }
+        if multi:
+            rec["script"] = (
+                script_lines[ln].script
+                if script_lines is not None
+                else scripts.get(ln, "")
+            )
         if script_lines is not None:
             rec["speaker"] = script_lines[ln].speaker
             rec["text"] = script_lines[ln].text

@@ -139,6 +139,7 @@ def _read_unit(path: Path) -> List[MatchRow]:
                     score=float(d["score"]),
                     verify_score=float(d["verify_score"]),
                     num_shingles=int(d["num_shingles"]),
+                    script=d.get("script", ""),
                 )
             )
     return rows

@@ -40,6 +40,11 @@ class MatchRow(NamedTuple):
     score: float          # best candidate score within the span
     verify_score: float   # best verification score within the span
     num_shingles: int     # shingle hits merged into this span
+    # Which source script the matched line belongs to — "" for a
+    # single-script run (reference-identical), the script's name in a
+    # multi-script index (search/index.py concat_indexes).  Trailing
+    # column so single-script CSVs differ only by one empty field.
+    script: str = ""
 
     CSV_FIELDS = (
         "work_id",
@@ -54,6 +59,7 @@ class MatchRow(NamedTuple):
         "score",
         "verify_score",
         "num_shingles",
+        "script",
     )
 
     def to_csv_row(self):
