@@ -1,3 +1,4 @@
+import csv
 import json
 import subprocess
 import sys
@@ -300,3 +301,53 @@ def test_save_load_bucketed_roundtrip(tmp_path, world):
     r1, _ = e_fresh.search_works(works)
     r2, _ = e_loaded.search_works(works)
     assert [r.to_csv_row() for r in r1] == [r.to_csv_row() for r in r2]
+
+
+def test_cli_multiscript_index_then_search_and_matrix(tmp_path):
+    """Two script files -> one persisted multi-script index -> search
+    attributes rows to the right script; matrix carries the column."""
+    rng = np.random.default_rng(6)
+    vocab = make_vocab(rng, 600)
+    paths = []
+    texts = {}
+    for name in ("ep1", "ep2"):
+        t = make_script(rng, vocab, num_lines=8, words_per_line=(7, 12))
+        p = tmp_path / f"{name}.txt"
+        p.write_text(t, encoding="utf-8")
+        paths.append(str(p))
+        texts[name] = t
+    fan_dir = tmp_path / "works"
+    fan_dir.mkdir()
+    noise = " ".join(vocab[i] for i in rng.integers(0, len(vocab), 60))
+    q1 = texts["ep1"].splitlines()[2].split(": ", 1)[1]
+    q2 = texts["ep2"].splitlines()[4].split(": ", 1)[1]
+    (fan_dir / "w1.txt").write_text(f"{noise} {q1} {noise}", encoding="utf-8")
+    (fan_dir / "w2.txt").write_text(f"{noise} {q2} {noise}", encoding="utf-8")
+
+    cmd = [sys.executable, "-m", "fandom_search_tpu"]
+    r = subprocess.run(
+        cmd + ["index"] + paths + ["-o", str(tmp_path / "idx"), "--cpu"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        cmd + ["search", str(fan_dir), "--index", str(tmp_path / "idx"),
+               "-o", str(tmp_path / "m.csv"), "--cpu", "--no-pallas"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    with (tmp_path / "m.csv").open(newline="", encoding="utf-8") as f:
+        rows = list(csv.DictReader(f))
+    scripts_hit = {(r_["work_id"], r_["script"]) for r_ in rows}
+    assert ("w1", "ep1") in scripts_hit
+    assert ("w2", "ep2") in scripts_hit
+    r = subprocess.run(
+        cmd + ["matrix", str(tmp_path / "m.csv"),
+               "-o", str(tmp_path / "x.csv"), "--script"] + paths,
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    with (tmp_path / "x.csv").open(newline="", encoding="utf-8") as f:
+        recs = list(csv.DictReader(f))
+    assert {rec["script"] for rec in recs} == {"ep1", "ep2"}
+    assert sum(int(rec["matches"]) for rec in recs) == len(rows)
