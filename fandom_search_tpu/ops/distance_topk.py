@@ -296,6 +296,10 @@ def topk_dot_pallas(
     embedding); beyond the int32 packing budget the wrapper runs an
     exact unpacked top-k instead (correct, slower — measured wrong
     answers at dim>=256 without this)."""
+    if merge not in ("insert", "rebuild"):
+        # an unknown value would emit a kernel with NO merge branch,
+        # returning the sentinel-initialized buffer as silent garbage
+        raise ValueError(f"merge must be 'insert' or 'rebuild', got {merge!r}")
     if q_transposed:
         d, nq = q_emb.shape
     else:

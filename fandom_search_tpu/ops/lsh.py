@@ -322,7 +322,9 @@ def rerank_exact(
         # bound: 128 sequential dispatches per 131k-query batch);
         # otherwise the largest pow2 chunk under ~1 GB.
         chunk = 1024
-        while chunk < nq and chunk * r * dim < (1 << 30):
+        # bound the POST-doubling size, so the cap holds for the chunk
+        # actually used (doubling after the check could land at 2 GB)
+        while chunk < nq and 2 * chunk * r * dim < (1 << 30):
             chunk *= 2
 
     def one(args):

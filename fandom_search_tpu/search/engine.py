@@ -396,8 +396,11 @@ class SearchEngine:
         # (~90s on a remote-compile tunnel); 512 covers works >= ~512
         # tokens at any batch size and costs only 4KB of upload
         nspans = _next_pow2(len(items), 512)
-        stream = np.zeros((t_pad,), dtype=np.uint32)
-        sp = np.zeros((2 * nspans,), dtype=np.uint32)
+        # ONE allocation holds [stream | span table]: the raw payload
+        # is this very array, so no per-batch concatenate/copy later
+        ext = np.zeros((t_pad + 2 * nspans,), dtype=np.uint32)
+        stream = ext[:t_pad]
+        sp = ext[t_pad:]
         sp[:nspans] = 1 << 30
         spans = []
         off = 0
@@ -410,10 +413,10 @@ class SearchEngine:
             spans.append((wid, off, m))
             off += m
             fresh_total += max(0, fresh)
-        payload = self._encode_payload(stream, off, sp, t_pad, nspans)
+        payload = self._encode_payload(ext, off, t_pad, nspans)
         yield [w for w, _, _ in spans], payload, spans, fresh_total
 
-    def _encode_payload(self, stream, valid, sp, t_pad, nspans):
+    def _encode_payload(self, ext, valid, t_pad, nspans):
         """("enc", c_ext, t_pad, p_pad, nspans) | ("raw", ext, t_pad, nspans).
 
         The compressed layout (all u32): [packed u16 ids (ceil(t_pad/2))
@@ -422,6 +425,8 @@ class SearchEngine:
         (2*nspans)].  Only the fused path decodes, so the two-stage
         path (sharded candidates / LSH prefilter) always gets raw.
         """
+        stream = ext[:t_pad]
+        sp = ext[t_pad:]
         venc = self._venc
         if venc is not None and self._use_fused:
             if venc.ready:
@@ -454,7 +459,7 @@ class SearchEngine:
                 venc.admit_counted(stream[:valid])
             else:
                 venc.bootstrap(stream[:valid])
-        return ("raw", np.concatenate([stream, sp]), t_pad, nspans)
+        return ("raw", ext, t_pad, nspans)
 
     def _vocab_table_dev(self):
         """Device copy of the vocab gather table, re-uploaded (256KB)

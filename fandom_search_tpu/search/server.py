@@ -50,11 +50,20 @@ class SearchService:
         self.index = index
         self.cfg = cfg
         self._lock = threading.Lock()
+        # counters get read-modify-written from every handler thread
+        # (ThreadingHTTPServer is thread-per-connection) AFTER the
+        # engine lock is released, so they need their own lock
+        self._stats_lock = threading.Lock()
         self._t0 = time.time()
         self.counters = {
             "requests": 0, "works": 0, "query_shingles": 0,
             "matches": 0, "search_seconds": 0.0, "errors": 0,
         }
+
+    def bump(self, **deltas) -> None:
+        with self._stats_lock:
+            for key, d in deltas.items():
+                self.counters[key] += d
 
     def warm(self) -> float:
         """Compile the smallest stream bucket before the first request
@@ -76,12 +85,13 @@ class SearchService:
         with self._lock:
             rows, stats = self.engine.search_works(works)
         dt = time.perf_counter() - t0
-        c = self.counters
-        c["requests"] += 1
-        c["works"] += len(works)
-        c["query_shingles"] += stats.num_query_shingles
-        c["matches"] += len(rows)
-        c["search_seconds"] += dt
+        self.bump(
+            requests=1,
+            works=len(works),
+            query_shingles=stats.num_query_shingles,
+            matches=len(rows),
+            search_seconds=dt,
+        )
         return rows, {
             "works": len(works),
             "num_matches": len(rows),
@@ -102,7 +112,8 @@ class SearchService:
         }
 
     def stats(self) -> dict:
-        out = dict(self.counters)
+        with self._stats_lock:
+            out = dict(self.counters)
         out["uptime_seconds"] = round(time.time() - self._t0, 1)
         out["search_seconds"] = round(out["search_seconds"], 3)
         return out
@@ -144,6 +155,9 @@ def make_handler(service: SearchService):
                     self._reply(413, {"error": "bad Content-Length"})
                     return
                 req = json.loads(self.rfile.read(length))
+                if not isinstance(req, dict):
+                    self._reply(400, {"error": "body must be a JSON object"})
+                    return
                 works = req.get("works")
                 if works is None and "text" in req:
                     works = {"query": req["text"]}
@@ -165,7 +179,7 @@ def make_handler(service: SearchService):
             try:
                 rows, summary = service.search(works)
             except Exception as e:  # engine failure must not kill serving
-                service.counters["errors"] += 1
+                service.bump(errors=1)
                 log.exception("search request failed")
                 self._reply(500, {"error": f"search failed: {e}"})
                 return
