@@ -574,7 +574,12 @@ def cmd_matrix(args) -> int:
         lines = _parse_script_lines(args.script)
     records = aggregate_matrix(rows, lines)
     write_matrix_csv(records, Path(args.out))
-    print(f"aggregated {len(rows)} matches over {len(records)} lines",
+    if args.html:
+        from fandom_search_tpu.search.heatmap import write_engagement_html
+
+        write_engagement_html(records, Path(args.html), title=args.title)
+    print(f"aggregated {len(rows)} matches over {len(records)} lines"
+          + (f"; heatmap -> {args.html}" if args.html else ""),
           file=sys.stderr)
     return 0
 
@@ -669,6 +674,11 @@ def build_parser() -> argparse.ArgumentParser:
     xp.add_argument("--script", nargs="+", default=None,
                     help="script file(s) for line text/speaker columns "
                          "(same order as the search)")
+    xp.add_argument("--html", default=None, metavar="PATH",
+                    help="also write a self-contained engagement heatmap "
+                         "(the Fan Engagement Meter view)")
+    xp.add_argument("--title", default="Fan engagement",
+                    help="heatmap page title")
     xp.set_defaults(fn=cmd_matrix)
 
     bp = sub.add_parser("bench", help="run the standard benchmark")

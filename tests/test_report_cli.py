@@ -96,10 +96,11 @@ def test_cli_end_to_end(tmp_path):
     assert any(r_["line_no"] == "3" and r_["work_id"] == "w1" for r_ in rows)
 
     out_matrix = tmp_path / "matrix.csv"
+    out_html = tmp_path / "engagement.html"
     r = subprocess.run(
         env_cmd + [
             "matrix", str(out_csv), "-o", str(out_matrix),
-            "--script", str(script_path),
+            "--script", str(script_path), "--html", str(out_html),
         ],
         capture_output=True, text=True, cwd="/root/repo",
     )
@@ -108,6 +109,39 @@ def test_cli_end_to_end(tmp_path):
         recs = {int(x["line_no"]): x for x in csv.DictReader(f)}
     assert int(recs[3]["matches"]) >= 1
     assert recs[3]["speaker"] != ""
+
+    page = out_html.read_text(encoding="utf-8")
+    assert "<!DOCTYPE html>" in page and "Total matches" in page
+    # the quoted line's text appears in the table, and its row carries
+    # the same count the CSV reports
+    assert quote.split()[0] in page
+    assert f'data-m="{recs[3]["matches"]}"' in page
+
+
+def test_engagement_html_rendering():
+    from fandom_search_tpu.search.heatmap import render_engagement_html
+
+    recs = [
+        {"line_no": 0, "matches": 4, "distinct_works": 2,
+         "speaker": "A", "text": "plain line", "script": "ep1"},
+        {"line_no": 1, "matches": 0, "distinct_works": 0,
+         "speaker": "B", "text": "<script>alert(1)</script>",
+         "script": "ep2"},
+    ]
+    page = render_engagement_html(recs, title="T & co")
+    # escaping: hostile text and title never reach the DOM unescaped
+    assert "<script>alert" not in page
+    assert "&lt;script&gt;alert(1)&lt;/script&gt;" in page
+    assert "T &amp; co" in page
+    # multi-script records group into named sections + a Scripts tile
+    assert page.count('class="sect"') == 2 and "ep1" in page and "ep2" in page
+    assert "Scripts" in page
+    # peak row gets the full-width bar; zero rows an empty one
+    assert 'style="width:100.00%"' in page
+    assert 'class="bar zero"' in page
+    # single-script records: no section headers, no Scripts tile
+    solo = render_engagement_html([{**recs[0], "script": ""}])
+    assert 'class="sect"' not in solo and "Scripts" not in solo
 
 
 def test_cli_clean_and_getmeta(tmp_path):
