@@ -190,24 +190,7 @@ def _topk_kernel(
                 run = jnp.where(run == m, jnp.int32(_PACK_SENTINEL), run)
             run_ref[:] = jnp.concatenate(outs, axis=1)
 
-    def _insert_merge():
-        # Insert merge.  The old k-pass rebuild (max over p AND run,
-        # k times, then concat) cost ~6 elementwise [TQ, TS] ops per
-        # pass x k passes — ~5x the tile's own MXU matmul in VPU time,
-        # which made firing tiles dominate the kernel (measured 100 G
-        # pairs/s vs the ~230 G matmul ceiling).  This version extracts
-        # the tile's row-max and INSERTS it into the sorted run buffer
-        # arithmetically:
-        #     new_run = max(run, min(shift_right(run), m))
-        # (exact for a descending sorted buffer: entries above m keep,
-        # m lands at its rank, the rest shift right) — then re-checks
-        # whether ANY row still has an entry that could enter
-        # (> its k-th packed value, >= min_keep) and stops as soon as
-        # not.  Real corpora have ~1 above-threshold entry per firing
-        # tile, so the loop runs ~1.5 iterations instead of k, and the
-        # per-iteration cost is ~2 elementwise [TQ, TS] ops (row-max +
-        # kill) instead of ~6.  The iteration cap k preserves
-        # exactness: at most k entries per row can enter the buffer.
+    def _pack_tile():
         inv_col = (
             jnp.int32(_COL_MASK - tile_base)
             - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
@@ -215,11 +198,17 @@ def _topk_kernel(
         p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
         # mask padded columns (col >= ns_valid  <=>  inv_col too small)
         col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
-        p_ref[:] = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
-        flag_ref[0] = jnp.int32(1)
-        top = jnp.full((tq, 1), jnp.int32(2**31 - 1))
+        return jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
 
-        for _ in range(k):
+    def _entrant_loop(iters: int):
+        # Kill-loop merge over the packed scratch: per iteration, take
+        # each row's max remaining entrant, insert it into the sorted
+        # run buffer arithmetically
+        #     new_run = max(run, min(shift_right(run), m))
+        # (exact for a descending sorted buffer: entries above m keep,
+        # m lands at its rank, the rest shift right), kill it in the
+        # scratch, and stop as soon as no row can still improve.
+        for _ in range(iters):
             @pl.when(flag_ref[0] == 1)
             def _iter():
                 m = jnp.max(p_ref[:], axis=1, keepdims=True)  # [TQ, 1]
@@ -236,6 +225,7 @@ def _topk_kernel(
                     # rows whose max cannot enter insert a sentinel
                     # no-op instead (min() keeps their buffer intact)
                     mi = jnp.where(enter, m, jnp.int32(_PACK_SENTINEL))
+                    top = jnp.full((tq, 1), jnp.int32(2**31 - 1))
                     shifted = jnp.concatenate(
                         [top, run[:, : k - 1]], axis=1
                     )
@@ -246,8 +236,107 @@ def _topk_kernel(
 
                 flag_ref[0] = go.astype(jnp.int32)
 
+    def _insert_merge():
+        # First-entrant fast path + loop fallback.  Measured on the
+        # bench corpus (2^17x8192, 1% planted hits, tq=256/ts=4096):
+        # 81% of tiles fire the gate and EVERY firing tile has exactly
+        # one entrant per row — the positional shingle embedding keeps
+        # a hit from bleeding into neighboring script columns — so the
+        # k-iteration kill loop is overhead on the common path.
+        #
+        # The extraction works on RAW scores (no per-element pack; two
+        # earlier shapes that packed per-element for fused reductions
+        # blew the 16MB scoped-VMEM limit at 256x4096): the gate's
+        # row_max [TQ,1] IS the first entrant's score, so one
+        # iota-compare traversal finds its column (highest inv_col =
+        # lowest col wins score ties — the packed tie-break), one
+        # column-excluded max traversal detects any second entrant,
+        # and only then does the tile stage the packed scratch for the
+        # kill loop.  Nothing [TQ, TS]-sized is written on the common
+        # path.  Exactness leans on min_keep >= 1 (enforced by the
+        # static dispatch below): padded script rows embed to zero, so
+        # a score >= min_keep >= 1 is always from a valid column and a
+        # padded column can never equal row_max when row_max >= 1;
+        # rows whose row_max < min_keep are outside the min_keep
+        # contract.  Eligibility vs the PRE-merge k-th is exact (it
+        # only rises, so a non-entrant now never enters later) and the
+        # kill loop re-checks entrants against the updated buffer.
+        kth = run_ref[:, k - 1 : k]
+
+        def inv_iota():
+            return (
+                jnp.int32(_COL_MASK - tile_base)
+                - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
+            )
+
+        def insert_one(m):
+            # arithmetic insert into the sorted-desc buffer; rows whose
+            # m is the sentinel (no entrant) no-op naturally:
+            # min(shifted, SENTINEL) = SENTINEL, max(run, SENTINEL) = run
+            run = run_ref[:]
+            top = jnp.full((tq, 1), jnp.int32(2**31 - 1))
+            shifted = jnp.concatenate([top, run[:, : k - 1]], axis=1)
+            run_ref[:] = jnp.maximum(run, jnp.minimum(shifted, m))
+
+        inv1 = jnp.max(
+            jnp.where(scores_i == row_max, inv_iota(), jnp.int32(-1)),
+            axis=1, keepdims=True,
+        )                                                   # [TQ, 1]
+        m1p = row_max * jnp.int32(1 << _COL_BITS) + inv1
+        elig1 = jnp.logical_and(
+            jnp.logical_and(row_max >= jnp.int32(min_keep), inv1 >= 0),
+            m1p > kth,
+        )
+        insert_one(jnp.where(elig1, m1p, jnp.int32(_PACK_SENTINEL)))
+
+        # second-best score with the first entrant's COLUMN excluded
+        # (a tied second column keeps the same score and is caught)
+        s2 = jnp.max(
+            jnp.where(
+                inv_iota() != inv1, scores_i, jnp.int32(_PACK_SENTINEL)
+            ),
+            axis=1, keepdims=True,
+        )                                                   # [TQ, 1]
+        # conservative packed upper bound for "could a second entrant
+        # beat the pre-merge k-th" (inv unknown, assume the best); the
+        # logical_and guards the s2 == sentinel case (shift garbage is
+        # masked by the score test)
+        need2 = jnp.logical_and(
+            s2 >= jnp.int32(min_keep),
+            s2 * jnp.int32(1 << _COL_BITS) + jnp.int32(_COL_MASK) > kth,
+        )
+
+        @pl.when(jnp.any(need2))
+        def _rest():
+            # >= 2 candidate entrants in some row: stage the packed
+            # tile minus the taken column and run the exact kill loop
+            # (m1 was either inserted or can never enter later — the
+            # k-th only rises — so excluding its column stays exact)
+            pm = _pack_tile()
+            p_ref[:] = jnp.where(
+                inv_iota() != inv1, pm, jnp.int32(_PACK_SENTINEL)
+            )
+            flag_ref[0] = jnp.int32(1)
+            _entrant_loop(k - 1)
+
+    def _insertloop_merge():
+        # Round-2 baseline insert merge (kept as the A/B control):
+        # packed tile to scratch, then the kill loop for ALL entrants.
+        p_ref[:] = _pack_tile()
+        flag_ref[0] = jnp.int32(1)
+        _entrant_loop(k)
+
     if merge == "insert":
-        pl.when(can_improve)(_insert_merge)
+        # the raw-score fast path's padded-column reasoning needs
+        # min_keep >= 1 (static); exact/low-threshold callers get the
+        # staged kill loop, which is the better shape there anyway
+        # (exact mode makes nearly every entry an entrant)
+        if min_keep >= 1:
+            pl.when(can_improve)(_insert_merge)
+        else:
+            pl.when(can_improve)(_insertloop_merge)
+    elif merge == "insertloop":
+        pl.when(can_improve)(_insertloop_merge)
 
     @pl.when(j == nj - 1)
     def _emit():
@@ -296,10 +385,12 @@ def topk_dot_pallas(
     embedding); beyond the int32 packing budget the wrapper runs an
     exact unpacked top-k instead (correct, slower — measured wrong
     answers at dim>=256 without this)."""
-    if merge not in ("insert", "rebuild"):
+    if merge not in ("insert", "insertloop", "rebuild"):
         # an unknown value would emit a kernel with NO merge branch,
         # returning the sentinel-initialized buffer as silent garbage
-        raise ValueError(f"merge must be 'insert' or 'rebuild', got {merge!r}")
+        raise ValueError(
+            f"merge must be 'insert', 'insertloop' or 'rebuild', got {merge!r}"
+        )
     if q_transposed:
         d, nq = q_emb.shape
     else:
@@ -384,9 +475,11 @@ def topk_dot_pallas(
             scratch_shapes=[
                 pltpu.VMEM((tile_q, k), jnp.int32),
                 # the rebuild merge keeps its packed tile in registers;
-                # only the insert merge needs the [TQ, TS] scratch
+                # only the kill-loop merges need the [TQ, TS] scratch
                 pltpu.VMEM(
-                    (tile_q, tile_s) if merge == "insert" else (8, 128),
+                    (tile_q, tile_s)
+                    if merge in ("insert", "insertloop")
+                    else (8, 128),
                     jnp.int32,
                 ),
                 pltpu.SMEM((1,), jnp.int32),

@@ -43,10 +43,15 @@ def main():
     q_t = jnp.asarray(np.ascontiguousarray(q_emb.T))
     s_pad, nsv = pad_rows(jnp.asarray(s_emb), 2048)
 
+    # default to the engine's measured-best tiles; argv overrides
+    tq = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    ts = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    print(f"tiles {tq}x{ts}")
+
     def run(merge, min_keep):
         return topk_dot_pallas(
             q_t, s_pad, nsv, k, dim, min_keep=min_keep,
-            q_transposed=True, merge=merge,
+            q_transposed=True, merge=merge, tile_q=tq, tile_s=ts,
         )
 
     def sync(o):
@@ -54,8 +59,10 @@ def main():
 
     variants = [
         ("insert/engine", lambda: run("insert", thr)),
+        ("insertloop/engine", lambda: run("insertloop", thr)),
         ("rebuild/engine", lambda: run("rebuild", thr)),
         ("insert/exact", lambda: run("insert", -float("inf"))),
+        ("insertloop/exact", lambda: run("insertloop", -float("inf"))),
         ("rebuild/exact", lambda: run("rebuild", -float("inf"))),
     ]
     for name, fn in variants:

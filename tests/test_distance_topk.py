@@ -201,6 +201,13 @@ def test_insert_merge_equals_rebuild_merge(rng):
     )
     np.testing.assert_array_equal(np.asarray(vi), np.asarray(vr))
     np.testing.assert_array_equal(np.asarray(ii), np.asarray(ir))
+    # the round-3 fast-path insert must match its loop-only A/B control
+    vl, il = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+        interpret=True, min_keep=-float("inf"), merge="insertloop",
+    )
+    np.testing.assert_array_equal(np.asarray(vl), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(il), np.asarray(ir))
 
     # min_keep (engine) mode: the contract only covers entries >= the
     # threshold (sub-threshold rows may legally return padding, and the
@@ -221,3 +228,21 @@ def test_insert_merge_equals_rebuild_merge(rng):
     np.testing.assert_array_equal(vi[keep_i], vr[keep_r])
     np.testing.assert_array_equal(ii[keep_i], ir[keep_r])
     assert keep_i.sum() > 100  # plants actually exercised this
+
+    # static-dispatch boundary: min_keep_i == 1 takes the raw-score
+    # fast path, min_keep_i == 0 the staged loop — both must agree
+    # with rebuild on the above-threshold prefix
+    for mk_b in (1.0 / DIM, 0.0):
+        vb, ib = topk_dot_pallas(
+            jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+            interpret=True, min_keep=mk_b, merge="insert",
+        )
+        vc, ic = topk_dot_pallas(
+            jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+            interpret=True, min_keep=mk_b, merge="rebuild",
+        )
+        vb, ib, vc, ic = (np.asarray(x) for x in (vb, ib, vc, ic))
+        kb, kc = vb >= mk_b, vc >= mk_b
+        np.testing.assert_array_equal(kb, kc)
+        np.testing.assert_array_equal(vb[kb], vc[kc])
+        np.testing.assert_array_equal(ib[kb], ic[kc])
