@@ -132,3 +132,32 @@ def test_unknown_post_path_and_raw_garbage(served):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 400
+
+
+def test_concurrent_requests_consistent_counters(served):
+    """Parallel clients: every request answers and the stats counters
+    (read-modify-written outside the engine lock) lose no updates."""
+    base, service, engine, works, _ = served
+    with service._stats_lock:
+        before = dict(service.counters)
+    wid = sorted(works)[0]
+    n_threads, per_thread = 6, 3
+    errors = []
+
+    def client():
+        for _ in range(per_thread):
+            code, body = _post(base + "/search", {"works": {wid: works[wid]}})
+            if code != 200:
+                errors.append((code, body))
+
+    threads = [threading.Thread(target=client) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    stats = _get(base + "/stats")[1]
+    n = n_threads * per_thread
+    assert stats["requests"] == before["requests"] + n
+    assert stats["works"] == before["works"] + n
+    assert stats["errors"] == before["errors"]
