@@ -23,7 +23,9 @@ shingle-pairs/sec through the engine-mode kernel; everything else goes
 to stderr + bench_details.json.
 
 Env knobs: BENCH_NQ, BENCH_NS, BENCH_CPU_NQ, BENCH_E2E_WORKS,
-BENCH_CPU_E2E_WORKS, BENCH_SKIP_E2E=1, BENCH_QUICK=1 (or --quick):
+BENCH_CPU_E2E_WORKS, BENCH_SKIP_E2E=1, BENCH_NO_PROBE=1 (skip the
+hung-tunnel device probe), BENCH_PROBE_TIMEOUT (seconds, default 300),
+BENCH_QUICK=1 (or --quick):
 kernel-only regression check against bench_expected.json (fails the
 process if the rate drops below 85% of the recorded best).
 """
@@ -117,6 +119,37 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     quick = "--quick" in argv or os.environ.get("BENCH_QUICK")
 
+    # The axon tunnel has outage windows (0.5-2h, observed 2026-08-17)
+    # during which backend init HANGS rather than errors.  Probe device
+    # enumeration in a disposable subprocess first; if it hangs or
+    # fails, fall back to CPU so the bench still emits its one JSON
+    # line (flagged in details) instead of a dead capture.
+    probe_note = None
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not os.environ.get(
+        "BENCH_NO_PROBE"
+    ):
+        import subprocess
+
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
+                capture_output=True,
+            )
+            probe_ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            probe_ok = False
+        if not probe_ok:
+            probe_note = "device init hung or failed; benchmarked on CPU"
+            log(f"WARNING: {probe_note}")
+            os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses
+            # jax is already imported (package __init__ pulls it in),
+            # so the env var alone is too late — override the config
+            # before the first backend touch.
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+
     import jax
 
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
@@ -143,6 +176,15 @@ def main(argv=None) -> int:
     nq = int(os.environ.get("BENCH_NQ", 1 << 17))
     ns = int(os.environ.get("BENCH_NS", 8192))
     cpu_nq = int(os.environ.get("BENCH_CPU_NQ", 2048))
+    if probe_note:
+        # Interpret-mode kernels at the TPU shapes would take hours;
+        # a degraded-but-complete capture beats a dead one.  Explicit
+        # env sizes still win.
+        nq = int(os.environ.get("BENCH_NQ", 1 << 12))
+        ns = int(os.environ.get("BENCH_NS", 2048))
+        cpu_nq = int(os.environ.get("BENCH_CPU_NQ", 512))
+        os.environ.setdefault("BENCH_SKIP_E2E", "1")
+        os.environ.setdefault("BENCH_BIG_NS", "0")  # skip the 2^20 regime
 
     rng = np.random.default_rng(0)
     log(f"building embeddings: {nq} query + {ns} script shingles")
@@ -161,6 +203,8 @@ def main(argv=None) -> int:
     s_pad, ns_valid = pad_rows(jnp.asarray(s_emb), cfg.search.script_pad_multiple)
 
     details = {"device": str(jax.devices()[0]), "nq": nq, "ns": ns}
+    if probe_note:
+        details["probe_note"] = probe_note
 
     # ---- config #2: fused distance+top-k kernel -------------------------
     # Engine mode = the layout the engine actually runs: lane-major q
@@ -194,6 +238,11 @@ def main(argv=None) -> int:
         expected_path = Path(__file__).with_name("bench_expected.json")
         out = {"metric": "shingle_pairs_per_sec", "value": round(rate_engine),
                "unit": "pairs/s", "vs_baseline": 0}
+        if probe_note:
+            log("CPU fallback: skipping regression compare against "
+                "TPU-recorded rates")
+            print(json.dumps(out))
+            return 0
         if expected_path.exists():
             exp = json.loads(expected_path.read_text())
             floor = exp["kernel_engine_pairs_per_sec"] * 0.85
@@ -236,7 +285,7 @@ def main(argv=None) -> int:
     # ---- config #3: Smith-Waterman verification rate --------------------
     from fandom_search_tpu.ops.smith_waterman import sw_normalized_pallas
 
-    B = 8192
+    B = 8192 if not probe_note else 512
     w = cfg.search.window_tokens
     mlt = cfg.search.max_line_tokens
     a = rng.integers(1, 1000, size=(B, w)).astype(np.uint32)
