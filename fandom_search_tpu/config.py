@@ -180,6 +180,14 @@ class BucketedConfig:
     #   candidates start entering the exact top-k (measured: recall
     #   0.985 -> ~1.0 at a 4M-shingle index).
     pairs: str = "triangles"
+    # Hybrid exact fallback: queries probing any over-cap bucket lose
+    # the pigeonhole guarantee, so they are routed through the exact
+    # fused kernel instead (ops/bucketed.py "hybrid").  Restores full
+    # recall on skewed (Zipf stopword-heavy) vocabularies, where the
+    # pure bucketed path measured thresholded recall 0.06; on clean
+    # corpora zero queries are at risk and the path is byte-identical.
+    # False = round-2 pure behavior incl. the >5%-overflow refusal.
+    hybrid: bool = True
 
     def __post_init__(self) -> None:
         if self.cap < 1:

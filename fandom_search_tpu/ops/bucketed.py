@@ -172,23 +172,29 @@ def probe_candidates(
     num_buckets: int,
     salts: Tuple[int, ...],
     pairs_mode: str = "triangles",
-) -> Tuple[jax.Array, jax.Array]:
-    """Bucket-probe every query shingle; returns (cand_idx, ok) of shape
-    [M, P*cap] with candidates SORTED ascending per row and duplicates
-    masked out — ready for rerank_exact (ties then resolve to the
-    lowest script index, the exact kernel's rule)."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Bucket-probe every query shingle; returns (cand_idx, ok, at_risk):
+    cand_idx/ok of shape [M, P*cap] with candidates SORTED ascending per
+    row and duplicates masked out — ready for rerank_exact (ties then
+    resolve to the lowest script index, the exact kernel's rule) — and
+    at_risk [M] bool: True when ANY probed bucket overflows ``cap``, i.e.
+    the pigeonhole guarantee may be lost for that query (the hybrid path
+    reroutes such queries through the exact kernel)."""
     t = stream.shape[0]
     m = max(0, t - n + 1)
     pairs = _pairs_for(n, pairs_mode)
     cands = []
     oks = []
+    at_risk = jnp.zeros((m,), dtype=bool)
     iota = jnp.arange(cap, dtype=jnp.int32)[None, :]
     for i, (a, b) in enumerate(pairs):
         w_a = jax.lax.dynamic_slice_in_dim(stream, a, m)
         w_b = jax.lax.dynamic_slice_in_dim(stream, b, m)
         bk = _bucket_ids(w_a, w_b, jnp.uint32(salts[i]), num_buckets)
         start = offsets[i, bk]                       # [M]
-        ln = jnp.minimum(offsets[i, bk + 1] - start, cap)
+        full = offsets[i, bk + 1] - start
+        at_risk = jnp.logical_or(at_risk, full > cap)
+        ln = jnp.minimum(full, cap)
         pos = start[:, None] + iota                  # [M, cap]
         idx = entries[i, jnp.clip(pos, 0, entries.shape[1] - 1)]
         cands.append(idx)
@@ -202,7 +208,11 @@ def probe_candidates(
     dup = jnp.concatenate(
         [jnp.zeros((s.shape[0], 1), bool), s[:, 1:] == s[:, :-1]], axis=1
     )
-    return jnp.where(ok, s, 0), jnp.logical_and(ok, jnp.logical_not(dup))
+    return (
+        jnp.where(ok, s, 0),
+        jnp.logical_and(ok, jnp.logical_not(dup)),
+        at_risk,
+    )
 
 
 def bucketed_topk(
@@ -223,7 +233,7 @@ def bucketed_topk(
     is exactly the thresholded-recall contract documented above.
     """
     m = q_emb.shape[0]
-    cand, ok = probe_candidates(
+    cand, ok, _ = probe_candidates(
         stream, bidx.entries, bidx.offsets,
         n=shingle_cfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
         salts=bidx.salts, pairs_mode=cfg.pairs,
@@ -288,6 +298,25 @@ def bucketed_candidates_flat(
     engine's pow2 retry (search/engine.py) grow both together —
     nothing is silently dropped.
     """
+    out, _ = _flat_impl(
+        stream, q_emb, entries, offsets, s_emb_padded,
+        n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k, dim=dim,
+        threshold=threshold, max_out=max_out, pairs_mode=pairs_mode,
+        drop_risk=False,
+    )
+    return out
+
+
+def _flat_impl(
+    stream, q_emb, entries, offsets, s_emb_padded, *,
+    n, cap, num_buckets, salts, k, dim, threshold, max_out, pairs_mode,
+    drop_risk,
+):
+    """Shared flat-path body; returns ((qpos, sidx, sc, count), at_risk).
+
+    ``drop_risk`` masks every pair from an at-risk query (one probing
+    an over-cap bucket) out of the flat stream — the hybrid caller
+    covers those queries with the exact kernel instead."""
     from fandom_search_tpu.search.engine import nonzero_compact
 
     m_queries = max(1, stream.shape[0] - n + 1)
@@ -296,11 +325,13 @@ def bucketed_candidates_flat(
     pair_budget = 1024
     while pair_budget < slack * m_queries + 8 * max_out:
         pair_budget *= 2
-    cand, ok = probe_candidates(
+    cand, ok, at_risk = probe_candidates(
         stream, entries, offsets,
         n=n, cap=cap, num_buckets=num_buckets, salts=salts,
         pairs_mode=pairs_mode,
     )
+    if drop_risk:
+        ok = jnp.logical_and(ok, jnp.logical_not(at_risk)[:, None])
     m, width = cand.shape
     flat_ok = ok.ravel()
     pair_count = jnp.sum(flat_ok.astype(jnp.int32))
@@ -353,7 +384,105 @@ def bucketed_candidates_flat(
             0,
         ),
     )
-    return qpos, sidx, sc, count
+    return (qpos, sidx, sc, count), at_risk
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "cap", "num_buckets", "salts", "k", "dim", "threshold",
+        "max_out", "risk_budget", "pairs_mode",
+    ),
+)
+def bucketed_hybrid_parts(
+    stream, q_emb, entries, offsets, s_emb_padded, *,
+    n, cap, num_buckets, salts, k, dim, threshold, max_out,
+    risk_budget, pairs_mode="triangles",
+):
+    """Hybrid stage 1: the flat bucketed path with at-risk queries
+    (those probing any over-cap bucket, where the pigeonhole guarantee
+    may be lost) dropped, plus the compacted at-risk row list for the
+    exact-kernel fallback (stage 2, ``exact_on_risk_rows``).
+
+    Returns (qpos, sidx, sc, count, risk_rows, risk_count): risk_rows
+    int32 [risk_budget], -1 padded; risk_count may exceed risk_budget
+    (the caller re-invokes with a bigger pow2 budget — same sticky-
+    budget contract as the engine's candidate retry)."""
+    from fandom_search_tpu.search.engine import nonzero_compact
+
+    (qpos, sidx, sc, count), at_risk = _flat_impl(
+        stream, q_emb, entries, offsets, s_emb_padded,
+        n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k, dim=dim,
+        threshold=threshold, max_out=max_out, pairs_mode=pairs_mode,
+        drop_risk=True,
+    )
+    risk_rows = nonzero_compact(at_risk, risk_budget)
+    risk_count = jnp.sum(at_risk.astype(jnp.int32))
+    return qpos, sidx, sc, count, risk_rows, risk_count
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "dim", "threshold", "max_out", "interpret", "max_abs_score",
+    ),
+)
+def exact_on_risk_rows(
+    q_emb, risk_rows, s_emb_padded, ns_valid, *,
+    k, dim, threshold, max_out, interpret=False, max_abs_score=4608,
+):
+    """Hybrid stage 2: exact fused top-k for ONLY the at-risk queries.
+
+    Gathers the at-risk rows into a compact [risk_budget, D] matrix,
+    runs the same fused distance+top-k kernel the engine's exact path
+    uses (scores identical in semantics — dot/dim, min_keep at the
+    candidate threshold), and emits engine-ready (qpos, sidx, score)
+    triples mapped back to original query positions, compacted to
+    ``max_out`` with an exact count (the engine's pow2 retry handles
+    overflow).  Cost is O(R * NS) for R at-risk queries — the hybrid
+    stays sub-linear overall whenever the at-risk fraction is small,
+    and degrades to the exact kernel (never worse than ~probe overhead)
+    on fully skewed corpora."""
+    from fandom_search_tpu.ops.distance_topk import topk_dot_pallas
+    from fandom_search_tpu.search.engine import nonzero_compact
+
+    rb = risk_rows.shape[0]
+    valid_row = risk_rows >= 0
+    safe = jnp.clip(risk_rows, 0, q_emb.shape[0] - 1)
+    qr = jnp.take(q_emb, safe, axis=0)               # [RB, D]
+    # zero the padding rows (their keep-mask is already False via
+    # valid_row; zeroing just keeps garbage out of the matmul)
+    qr = jnp.where(valid_row[:, None], qr, jnp.int8(0))
+    vals, idx = topk_dot_pallas(
+        qr, s_emb_padded, ns_valid, k, dim,
+        min_keep=threshold, interpret=interpret,
+        max_abs_score=max_abs_score,
+    )
+    keep = jnp.logical_and(vals >= threshold, valid_row[:, None])
+    pos = nonzero_compact(keep.ravel(), max_out)     # [max_out]
+    psafe = jnp.maximum(pos, 0)
+    pvalid = pos >= 0
+    row = psafe // k
+    qpos = jnp.where(pvalid, risk_rows[row], -1)
+    sidx = jnp.where(pvalid, idx.ravel()[psafe], 0)
+    sc = vals.ravel()[psafe]
+    return qpos, sidx, sc, jnp.sum(keep.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def merge_triples(qb, sb, scb, cb, qe, se, sce, ce, *, max_out):
+    """Concatenate two compacted triple sets into one [max_out] set.
+
+    The bucketed triples occupy [0, cb), the exact-fallback triples
+    [cb, cb+ce); the combined count may exceed max_out, which the
+    engine's retry contract handles before anything is consumed."""
+    iota = jnp.arange(max_out, dtype=jnp.int32)
+    j = jnp.clip(iota - cb, 0, qe.shape[0] - 1)
+    from_e = iota >= cb
+    q = jnp.where(from_e, qe[j], qb)
+    s = jnp.where(from_e, se[j], sb)
+    sc = jnp.where(from_e, sce[j], scb)
+    return q, s, sc, cb + ce
 
 
 def attach_bucketed_prefilter(
@@ -387,19 +516,30 @@ def attach_bucketed_prefilter(
             ns_valid=bidx.ns_valid,
             overflow_frac=bidx.overflow_frac,
         )
-    if bidx.overflow_frac > 0.05:
-        # A skewed (Zipf stopword-heavy) vocabulary overflows hot
-        # pair-buckets and silently loses the recall guarantee
-        # (measured: 70% overflow -> thresholded recall 0.06 on a
-        # Zipf-1.3 corpus, scripts/bucketed_probe.py).  Refuse rather
-        # than degrade; the exact kernel covers that regime at full
-        # recall (~630 G pairs/s at a 2^20-shingle index).
+    if not cfg.hybrid and bidx.overflow_frac > 0.05:
+        # Pure mode: a skewed (Zipf stopword-heavy) vocabulary
+        # overflows hot pair-buckets and silently loses the recall
+        # guarantee (measured: 70% overflow -> thresholded recall 0.06
+        # on a Zipf-1.3 corpus, scripts/bucketed_probe.py).  Refuse
+        # rather than degrade; the default hybrid mode instead reroutes
+        # at-risk queries through the exact kernel.
         raise ValueError(
             f"bucketed index has {bidx.overflow_frac:.0%} of entries in "
             f"over-cap buckets (cap={cfg.cap}); this corpus's word-pair "
-            f"distribution is too skewed for the bucketed prefilter — "
-            f"use the exact kernel (drop --bucketed) or raise cap/"
+            f"distribution is too skewed for the pure bucketed "
+            f"prefilter — enable the hybrid (BucketedConfig.hybrid), "
+            f"use the exact kernel (drop --bucketed), or raise cap/"
             f"load_factor"
+        )
+    if bidx.overflow_frac > 0.05:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bucketed index has %.0f%% of entries in over-cap buckets "
+            "(cap=%d): the word-pair distribution is skewed, so a large "
+            "query fraction will reroute through the exact kernel "
+            "(hybrid fallback) — expect near-exact-kernel wall-clock",
+            100 * bidx.overflow_frac, cfg.cap,
         )
     engine.bucketed = bidx
     scfg = engine.cfg.shingle
@@ -407,20 +547,84 @@ def attach_bucketed_prefilter(
     s_emb_padded = engine._s_emb_padded
     ns_true = engine.index.num_shingles
 
-    @functools.partial(jax.jit, static_argnames=("max_out",))
-    def candidates(stream, s_emb, ns_valid, mults, *, max_out):
+    if not cfg.hybrid:
+        @functools.partial(jax.jit, static_argnames=("max_out",))
+        def candidates(stream, s_emb, ns_valid, mults, *, max_out):
+            q_emb = embed_shingles(stream, scfg, mults=mults)
+            return bucketed_candidates_flat(
+                stream, q_emb, bidx.entries, bidx.offsets, s_emb,
+                n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
+                salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
+                threshold=xcfg.candidate_threshold, max_out=max_out,
+                pairs_mode=cfg.pairs,
+            )
+
+        engine._use_fused = False
+        engine._candidates_fn = (
+            lambda stream, _s, _n, mults, max_out: candidates(
+                stream, s_emb_padded, _n, mults, max_out=max_out
+            )
+        )
+        return
+
+    # ---- hybrid mode (default): bucketed + exact fallback ---------------
+    interpret = bool(getattr(engine, "interpret", False))
+    smax = scfg.n * scfg.n * scfg.dim
+
+    @functools.partial(
+        jax.jit, static_argnames=("max_out", "risk_budget")
+    )
+    def stage1(stream, mults, *, max_out, risk_budget):
         q_emb = embed_shingles(stream, scfg, mults=mults)
-        return bucketed_candidates_flat(
-            stream, q_emb, bidx.entries, bidx.offsets, s_emb,
-            n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
-            salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
-            threshold=xcfg.candidate_threshold, max_out=max_out,
-            pairs_mode=cfg.pairs,
+        qpos, sidx, sc, count, risk_rows, risk_count = (
+            bucketed_hybrid_parts(
+                stream, q_emb, bidx.entries, bidx.offsets, s_emb_padded,
+                n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
+                salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
+                threshold=xcfg.candidate_threshold, max_out=max_out,
+                risk_budget=risk_budget, pairs_mode=cfg.pairs,
+            )
+        )
+        return qpos, sidx, sc, count, risk_rows, risk_count, q_emb
+
+    # sticky risk budget, pow2-grown like the engine's candidate budget
+    # (>= 1024 keeps the gathered row count tile-aligned for the kernel)
+    engine._bucketed_risk_budget = max(
+        1024, getattr(engine, "_bucketed_risk_budget", 0)
+    )
+    # host-visible risk accounting (fraction of queries rerouted)
+    engine._bucketed_risk_queries = 0
+    engine._bucketed_total_queries = 0
+
+    def candidates_hybrid(stream, _s, ns_valid, mults, max_out):
+        while True:
+            rb = engine._bucketed_risk_budget
+            qpos, sidx, sc, count, risk_rows, risk_count, q_emb = stage1(
+                stream, mults, max_out=max_out, risk_budget=rb
+            )
+            rc = int(np.asarray(risk_count))
+            if rc <= rb:
+                break
+            engine._bucketed_risk_budget = _next_pow2_int(rc, rb * 2)
+        engine._bucketed_risk_queries += rc
+        engine._bucketed_total_queries += max(0, stream.shape[0] - scfg.n + 1)
+        if rc == 0:
+            return qpos, sidx, sc, count
+        qe, se, sce, ce = exact_on_risk_rows(
+            q_emb, risk_rows, s_emb_padded, ns_valid,
+            k=xcfg.k, dim=scfg.dim, threshold=xcfg.candidate_threshold,
+            max_out=max_out, interpret=interpret, max_abs_score=smax,
+        )
+        return merge_triples(
+            qpos, sidx, sc, count, qe, se, sce, ce, max_out=max_out
         )
 
     engine._use_fused = False
-    engine._candidates_fn = (
-        lambda stream, _s, _n, mults, max_out: candidates(
-            stream, s_emb_padded, _n, mults, max_out=max_out
-        )
-    )
+    engine._candidates_fn = candidates_hybrid
+
+
+def _next_pow2_int(n: int, floor: int) -> int:
+    v = max(1, floor)
+    while v < n:
+        v *= 2
+    return v

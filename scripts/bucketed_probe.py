@@ -48,6 +48,7 @@ def main():
 
     cfg = PipelineConfig()
     bcfg = BucketedConfig(pairs="all" if all_pairs else "triangles")
+    interpret = jax.devices()[0].platform == "cpu"  # CPU validation runs
     k, dim, n = cfg.search.k, cfg.shingle.dim, cfg.shingle.n
     thr = cfg.search.candidate_threshold
     ns, nq = 1 << log2_ns, 1 << log2_nq
@@ -94,7 +95,7 @@ def main():
     def run_exact():
         return topk_dot_pallas(
             q_dev_t, s_pad, ns_valid, k, dim, min_keep=thr,
-            tile_q=tq, tile_s=ts,
+            tile_q=tq, tile_s=ts, interpret=interpret,
             q_transposed=True, max_abs_score=smax,
         )
 
@@ -166,6 +167,72 @@ def main():
           f"pairs/s) | bucketed {best_b*1e3:.1f} ms "
           f"({pairs/best_b/1e9:.1f} G pairs/s-equiv) | "
           f"speedup x{best_e/best_b:.1f} at recall {rec:.4f}")
+
+    # ---- hybrid (bucketed + exact reroute for at-risk queries) ---------
+    from fandom_search_tpu.ops.bucketed import (
+        bucketed_hybrid_parts, exact_on_risk_rows, merge_triples,
+    )
+
+    risk_budget = 1024
+    max_out = 1 << 16
+
+    def run_hybrid():
+        nonlocal risk_budget
+        while True:
+            parts = bucketed_hybrid_parts(
+                q_stream_dev, q_dev, bidx.entries, bidx.offsets, s_pad,
+                n=n, cap=bcfg.cap, num_buckets=bidx.num_buckets,
+                salts=bidx.salts, k=k, dim=dim, threshold=thr,
+                max_out=max_out, risk_budget=risk_budget,
+                pairs_mode=bcfg.pairs,
+            )
+            rc = int(np.asarray(parts[5]))
+            if rc <= risk_budget:
+                break
+            while risk_budget < rc:
+                risk_budget *= 2
+        qp, si, sc, cnt = parts[:4]
+        if rc:
+            qe, se, sce, ce = exact_on_risk_rows(
+                q_dev, parts[4], s_pad, ns_valid,
+                k=k, dim=dim, threshold=thr, max_out=max_out,
+                max_abs_score=smax, interpret=interpret,
+            )
+            qp, si, sc, cnt = merge_triples(
+                qp, si, sc, cnt, qe, se, sce, ce, max_out=max_out
+            )
+        return (qp, si, sc, cnt), rc
+
+    (hqp, hsi, hsc, hcnt), rc = run_hybrid()  # warm + budget settle
+    sync(hsc)
+    best_h = float("inf")
+    for r in range(4):
+        t0 = time.perf_counter()
+        sync(run_hybrid()[0][2])
+        best_h = min(best_h, time.perf_counter() - t0)
+    # thresholded recall of the hybrid triples vs the exact kernel
+    hn = int(np.asarray(hcnt))
+    got_h = {}
+    for q, v in zip(
+        np.asarray(hqp)[:hn], np.round(np.asarray(hsc)[:hn] * dim)
+    ):
+        got_h.setdefault(int(q), []).append(float(v))
+    tot_h = hit_h = 0
+    for i in range(0, nq, 37):
+        keep = evn[i] >= thr
+        if not keep.any():
+            continue
+        have = got_h.get(i, [])
+        for v in np.round(evn[i][keep] * dim):
+            tot_h += 1
+            if v in have:
+                have.remove(v)
+                hit_h += 1
+    print(f"HYBRID: {best_h*1e3:.1f} ms ({pairs/best_h/1e9:.1f} G "
+          f"pairs/s-equiv) | at-risk queries {rc}/{nq} "
+          f"({rc/max(1,nq):.1%}) | vs exact x{best_e/best_h:.2f} | "
+          f"thresholded recall {hit_h/max(1,tot_h):.4f} "
+          f"(subsampled, {tot_h} entries)")
 
 
 if __name__ == "__main__":

@@ -92,7 +92,7 @@ def test_no_duplicate_candidates(rng):
     bidx = BucketedIndex.build(windows, BCFG, SCFG)
     from fandom_search_tpu.ops.bucketed import probe_candidates
 
-    cand, ok = probe_candidates(
+    cand, ok, _ = probe_candidates(
         q_stream, bidx.entries, bidx.offsets,
         n=SCFG.n, cap=BCFG.cap, num_buckets=bidx.num_buckets,
         salts=bidx.salts,
@@ -299,20 +299,132 @@ def test_all_pairs_mode_guarantees_two_matches(rng):
     assert checked > 50
 
 
-def test_attach_refuses_skewed_corpus(rng):
-    """A Zipf-skewed index (hot pair-buckets overflowing cap) must be
-    refused at attach time, not silently degrade recall."""
+def _skewed_world(rng, num_lines=30, num_works=8, words_per_work=220):
+    """A Zipf-like script: every line leads with the same stopword run
+    (hot pair-buckets overflow cap), then unique words; works carry
+    planted quotes of those lines."""
     from fandom_search_tpu.data.script_parser import parse_script
-    from fandom_search_tpu.search.engine import SearchEngine
     from fandom_search_tpu.search.index import build_script_index
-
-    # script whose lines repeat the same two words -> every pair bucket
-    # is hot
-    text = "\n".join(
-        f"ALICE: {' '.join(['of the'] * 6)}" for _ in range(30)
+    from fandom_search_tpu.utils.synthetic import (
+        make_corpus_with_quotes, make_vocab,
     )
-    lines = parse_script(text)
+
+    vocab = make_vocab(rng, 600)
+    lines_txt = "\n".join(
+        "ALICE: of the of the "
+        + " ".join(rng.choice(vocab, size=6).tolist())
+        for _ in range(num_lines)
+    )
+    lines = parse_script(lines_txt)
     index = build_script_index(lines, CFG.shingle, CFG.search)
+    works, _ = make_corpus_with_quotes(
+        rng, [ln.text for ln in lines], num_works=num_works,
+        words_per_work=words_per_work, quotes_per_work=2, vocab=vocab,
+    )
+    return lines, index, works
+
+
+def test_pure_mode_refuses_skewed_corpus(rng):
+    """hybrid=False keeps the round-2 contract: a Zipf-skewed index
+    (hot pair-buckets overflowing cap) is refused at attach time, not
+    silently degraded."""
+    from fandom_search_tpu.search.engine import SearchEngine
+
+    _, index, _ = _skewed_world(rng)
     eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
     with pytest.raises(ValueError, match="too skewed"):
-        attach_bucketed_prefilter(eng, BCFG)
+        attach_bucketed_prefilter(
+            eng, dataclasses.replace(BCFG, hybrid=False)
+        )
+
+
+def test_hybrid_rescues_skewed_corpus(rng):
+    """Default hybrid mode on the same skewed corpus: at-risk queries
+    reroute through the exact kernel, and engine rows equal the exact
+    engine's rows (where the pure bucketed path measured thresholded
+    recall 0.06)."""
+    from fandom_search_tpu.search.engine import SearchEngine
+
+    _, index, works = _skewed_world(rng)
+    cfg = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, batch_queries=4096)
+    )
+    exact = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    want, wstats = exact.search_works(works)
+    assert wstats.num_verified > 0  # the planted quotes are findable
+
+    eng = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    attach_bucketed_prefilter(eng, BCFG)  # no refusal in hybrid mode
+    assert eng.bucketed.overflow_frac > 0.05
+    got, stats = eng.search_works(works)
+    key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
+    assert {key(r) for r in got} == {key(r) for r in want}
+    # the stopword-heavy stream really did reroute queries
+    assert eng._bucketed_risk_queries > 0
+    assert eng._bucketed_total_queries >= eng._bucketed_risk_queries
+
+
+def test_hybrid_no_risk_keeps_pure_path(rng):
+    """On a uniform corpus no query is at risk: the hybrid wrapper must
+    return bit-identical triples to the pure flat path (stage 2 never
+    runs)."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import (
+        bucketed_candidates_flat, bucketed_hybrid_parts,
+    )
+
+    q_stream, s_stream = _world(rng, nq=512, ns=1200)
+    windows = shingle_hashes(s_stream, SCFG)
+    bidx = BucketedIndex.build(windows, BCFG, SCFG)
+    assert bidx.overflow_frac == 0.0
+    q_emb = jnp.asarray(embed_shingles_np(q_stream, SCFG))
+    s_pad, _ = pad_rows(
+        jnp.asarray(embed_shingles_np(s_stream, SCFG)), 2048
+    )
+    kw = dict(
+        n=SCFG.n, cap=BCFG.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts, k=K, dim=DIM,
+        threshold=CFG.search.candidate_threshold, max_out=4096,
+    )
+    qs = jnp.asarray(q_stream)
+    qp, si, sc, cnt = bucketed_candidates_flat(
+        qs, q_emb, bidx.entries, bidx.offsets, s_pad, **kw
+    )
+    hqp, hsi, hsc, hcnt, risk_rows, risk_count = bucketed_hybrid_parts(
+        qs, q_emb, bidx.entries, bidx.offsets, s_pad,
+        risk_budget=1024, **kw
+    )
+    assert int(risk_count) == 0
+    n = int(cnt)
+    assert int(hcnt) == n
+    np.testing.assert_array_equal(np.asarray(qp)[:n], np.asarray(hqp)[:n])
+    np.testing.assert_array_equal(np.asarray(si)[:n], np.asarray(hsi)[:n])
+    np.testing.assert_array_equal(np.asarray(sc)[:n], np.asarray(hsc)[:n])
+
+
+def test_hybrid_risk_budget_retry(rng):
+    """More at-risk queries than the sticky risk budget: the attach
+    wrapper must grow the budget (pow2) and still produce exact rows."""
+    from fandom_search_tpu.search.engine import SearchEngine
+
+    # long stopword-only works: virtually every query shingle is at
+    # risk, far beyond the 1024 floor
+    _, index, works = _skewed_world(
+        rng, num_lines=20, num_works=2, words_per_work=1200
+    )
+    hot = "of the " * 600
+    works = {w: hot + t for w, t in works.items()}
+    cfg = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, batch_queries=8192)
+    )
+    exact = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    want, _ = exact.search_works(works)
+
+    eng = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    attach_bucketed_prefilter(eng, BCFG)
+    assert eng._bucketed_risk_budget == 1024
+    got, _ = eng.search_works(works)
+    assert eng._bucketed_risk_budget > 1024  # the retry path ran
+    key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
+    assert {key(r) for r in got} == {key(r) for r in want}
