@@ -509,6 +509,136 @@ def main(argv=None) -> int:
     if big_ns:
         measure_bucketed(big_ns, nq, "bucketed_big")
 
+    # ---- config #5c: HYBRID bucketed on a Zipf-skewed vocabulary --------
+    # Real text is Zipfian; hot word-pair buckets overflow cap and the
+    # pure bucketed path loses its guarantee (round-2 measured recall
+    # 0.06 on Zipf-1.3).  The hybrid reroutes at-risk queries through
+    # the exact kernel; this config attests recall restoration and the
+    # rerouted fraction in the standard capture.
+    zipf_ns = int(os.environ.get(
+        "BENCH_ZIPF_NS", 0 if probe_note else 1 << 18
+    ))
+    if zipf_ns:
+        from fandom_search_tpu.ops.bucketed import (
+            BucketedIndex as _BIdx, bucketed_hybrid_parts,
+            exact_on_risk_rows, merge_triples,
+        )
+
+        r3 = np.random.default_rng(11)
+        nq_z = min(nq, 1 << 16)
+
+        def zipf_words(count):
+            # ranks -> word hashes: heavy head like stopwords
+            return (
+                (r3.zipf(1.3, size=count) % 50000).astype(np.uint32)
+                * np.uint32(0x9E3779B9)
+            )
+
+        sz_stream = zipf_words(zipf_ns + cfg.shingle.n - 1)
+        qz_stream = zipf_words(nq_z + cfg.shingle.n - 1)
+        for qi in range(0, nq_z, 100):
+            si = int(r3.integers(0, zipf_ns))
+            qz_stream[qi : qi + cfg.shingle.n] = sz_stream[
+                si : si + cfg.shingle.n
+            ]
+        zw = shingle_hashes(sz_stream, cfg.shingle)
+        zb = _BIdx.build(zw, cfg.bucketed, cfg.shingle)
+        details["bucketed_zipf_overflow_frac"] = zb.overflow_frac
+        sz_emb = embed_shingles_np(sz_stream, cfg.shingle)
+        qz_emb = embed_shingles_np(qz_stream, cfg.shingle)
+        sz_pad, nsz = pad_rows(jnp.asarray(sz_emb), 2048)
+        qz_dev = jnp.asarray(qz_emb)
+        qz_t = jnp.asarray(np.ascontiguousarray(qz_emb.T))
+        qzs_dev = jnp.asarray(qz_stream)
+        smax_z = cfg.shingle.n * cfg.shingle.n * dim
+        tq_z, ts_z = engine_tiles(nq_z, sz_pad.shape[0])
+        max_out_z = 1 << 16
+        risk_budget_z = 1 << 13
+
+        def run_exact_z():
+            return topk_dot_pallas(
+                qz_t, sz_pad, nsz, k, dim, interpret=interpret,
+                tile_q=tq_z, tile_s=ts_z, min_keep=thr,
+                q_transposed=True, max_abs_score=smax_z,
+            )
+
+        def run_hybrid_z():
+            nonlocal risk_budget_z
+            while True:
+                parts = bucketed_hybrid_parts(
+                    qzs_dev, qz_dev, zb.entries, zb.offsets, sz_pad,
+                    n=cfg.shingle.n, cap=cfg.bucketed.cap,
+                    num_buckets=zb.num_buckets, salts=zb.salts,
+                    k=k, dim=dim, threshold=thr, max_out=max_out_z,
+                    risk_budget=risk_budget_z,
+                    pairs_mode=cfg.bucketed.pairs,
+                )
+                rc = int(np.asarray(parts[5]))
+                if rc <= risk_budget_z:
+                    break
+                while risk_budget_z < rc:
+                    risk_budget_z *= 2
+            qp, si_, sc_, cnt = parts[:4]
+            if rc:
+                qe, se, sce, ce = exact_on_risk_rows(
+                    qz_dev, parts[4], sz_pad, nsz,
+                    k=k, dim=dim, threshold=thr, max_out=max_out_z,
+                    interpret=interpret, max_abs_score=smax_z,
+                )
+                qp, si_, sc_, cnt = merge_triples(
+                    qp, si_, sc_, cnt, qe, se, sce, ce,
+                    max_out=max_out_z,
+                )
+            return (qp, si_, sc_, cnt), rc
+
+        ev_z = run_exact_z()
+        _sync(jnp, ev_z[0])
+        (hqp, hsi, hsc, hcnt), rc_z = run_hybrid_z()
+        _sync(jnp, hsc)
+        best_ez = best_hz = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(jnp, run_exact_z()[0])
+            best_ez = min(best_ez, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _sync(jnp, run_hybrid_z()[0][2])
+            best_hz = min(best_hz, time.perf_counter() - t0)
+        # thresholded recall of hybrid triples vs the exact kernel
+        evn_z = np.asarray(ev_z[0])
+        hn = int(np.asarray(hcnt))
+        got_z = {}
+        for q, v in zip(
+            np.asarray(hqp)[:hn], np.round(np.asarray(hsc)[:hn] * dim)
+        ):
+            got_z.setdefault(int(q), []).append(float(v))
+        tot_z = hit_z = 0
+        for i in range(0, nq_z, 17):
+            keepm = evn_z[i] >= thr
+            if not keepm.any():
+                continue
+            have = got_z.get(i, [])
+            for v in np.round(evn_z[i][keepm] * dim):
+                tot_z += 1
+                if v in have:
+                    have.remove(v)
+                    hit_z += 1
+        details.update({
+            "bucketed_zipf_ns": zipf_ns,
+            "bucketed_zipf_risk_frac": rc_z / max(1, nq_z),
+            "bucketed_zipf_exact_seconds": best_ez,
+            "bucketed_zipf_hybrid_seconds": best_hz,
+            "bucketed_zipf_hybrid_vs_exact": best_ez / best_hz,
+            "bucketed_zipf_hybrid_thresholded_recall": (
+                hit_z / max(1, tot_z)
+            ),
+        })
+        log(f"bucketed zipf hybrid [ns={zipf_ns}]: overflow "
+            f"{zb.overflow_frac:.2%}, at-risk {rc_z}/{nq_z} "
+            f"({rc_z/max(1,nq_z):.1%}); exact {best_ez*1e3:.1f} ms vs "
+            f"hybrid {best_hz*1e3:.1f} ms (x{best_ez/best_hz:.2f}); "
+            f"thresholded recall {hit_z/max(1,tot_z):.4f} "
+            f"({tot_z} entries)")
+
     # ---- end-to-end engine vs extrapolated CPU oracle --------------------
     if not os.environ.get("BENCH_SKIP_E2E"):
         from fandom_search_tpu.search.engine import SearchEngine
