@@ -123,6 +123,17 @@ def save_lsh(path: str | Path, lsh, cfg: LSHConfig) -> None:
     (path / "lsh_meta.json").write_text(json.dumps(meta), encoding="utf-8")
 
 
+def _bucketed_identity(cfg) -> dict:
+    """The BucketedConfig fields that determine the built tables.
+
+    ``hybrid`` is a runtime routing choice (exact-kernel fallback for
+    at-risk queries) — the same persisted tables serve both modes, so
+    it must not participate in the saved-index identity."""
+    d = dataclasses.asdict(cfg)
+    d.pop("hybrid", None)
+    return d
+
+
 def save_bucketed(path: str | Path, bidx, cfg) -> None:
     """Persist a built BucketedIndex (ops/bucketed.py) next to the
     script index — the inverted tables are ~10s to build + upload at
@@ -141,7 +152,7 @@ def save_bucketed(path: str | Path, bidx, cfg) -> None:
         "salts": list(bidx.salts),
         "ns_valid": int(bidx.ns_valid),
         "overflow_frac": float(bidx.overflow_frac),
-        "bucketed": dataclasses.asdict(cfg),
+        "bucketed": _bucketed_identity(cfg),
     }
     (path / "bucketed_meta.json").write_text(
         json.dumps(meta), encoding="utf-8"
@@ -160,7 +171,9 @@ def load_bucketed(path: str | Path, cfg):
     if not meta_path.exists():
         return None
     meta = json.loads(meta_path.read_text(encoding="utf-8"))
-    if meta.get("bucketed") != dataclasses.asdict(cfg):
+    saved = dict(meta.get("bucketed") or {})
+    saved.pop("hybrid", None)  # saves from before the field existed
+    if saved != _bucketed_identity(cfg):
         return None
     ckptr = ocp.PyTreeCheckpointer()
     arrays = ckptr.restore(path / "bucketed_arrays")
