@@ -549,6 +549,12 @@ class SearchEngine:
             self.index, scfg, xcfg,
         )
         stats.seconds_host += time.perf_counter() - t0
+        # hybrid bucketed prefilter observability (ops/bucketed.py):
+        # fraction of query shingles rerouted through the exact kernel
+        if getattr(self, "_bucketed_total_queries", 0):
+            stats.extra["bucketed_risk_frac"] = (
+                self._bucketed_risk_queries / self._bucketed_total_queries
+            )
         return rows, stats
 
     @staticmethod
