@@ -119,36 +119,23 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     quick = "--quick" in argv or os.environ.get("BENCH_QUICK")
 
-    # The axon tunnel has outage windows (0.5-2h, observed 2026-08-17)
+    # The axon tunnel has outage windows (0.5-4h, observed 2026-08-17)
     # during which backend init HANGS rather than errors.  Probe device
-    # enumeration in a disposable subprocess first; if it hangs or
-    # fails, fall back to CPU so the bench still emits its one JSON
-    # line (flagged in details) instead of a dead capture.
+    # enumeration first (shared helper: utils/device_probe.py — timed
+    # subprocess, short-circuited when a backend is live or the
+    # jax_platforms CONFIG is already "cpu"; the JAX_PLATFORMS env var
+    # is deliberately not trusted, the axon plugin ignores it); on a
+    # hung or failed probe fall back to CPU so the bench still emits
+    # its one JSON line (flagged in details) instead of a dead capture.
+    from fandom_search_tpu.utils.device_probe import (
+        fallback_to_cpu, probed_device_count,
+    )
+
     probe_note = None
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not os.environ.get(
-        "BENCH_NO_PROBE"
-    ):
-        import subprocess
-
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", "300")),
-                capture_output=True,
-            )
-            probe_ok = r.returncode == 0
-        except subprocess.TimeoutExpired:
-            probe_ok = False
-        if not probe_ok:
+    if not os.environ.get("BENCH_NO_PROBE"):
+        if probed_device_count() == 0:
             probe_note = "device init hung or failed; benchmarked on CPU"
-            log(f"WARNING: {probe_note}")
-            os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses
-            # jax is already imported (package __init__ pulls it in),
-            # so the env var alone is too late — override the config
-            # before the first backend touch.
-            import jax
-
-            jax.config.update("jax_platforms", "cpu")
+            fallback_to_cpu("device init hung or failed")
 
     import jax
 
@@ -520,8 +507,7 @@ def main(argv=None) -> int:
     ))
     if zipf_ns:
         from fandom_search_tpu.ops.bucketed import (
-            BucketedIndex as _BIdx, bucketed_hybrid_parts,
-            exact_on_risk_rows, merge_triples,
+            BucketedIndex as _BIdx, drive_hybrid,
         )
 
         r3 = np.random.default_rng(11)
@@ -563,33 +549,18 @@ def main(argv=None) -> int:
             )
 
         def run_hybrid_z():
-            nonlocal risk_budget_z
-            while True:
-                parts = bucketed_hybrid_parts(
-                    qzs_dev, qz_dev, zb.entries, zb.offsets, sz_pad,
-                    n=cfg.shingle.n, cap=cfg.bucketed.cap,
-                    num_buckets=zb.num_buckets, salts=zb.salts,
-                    k=k, dim=dim, threshold=thr, max_out=max_out_z,
-                    risk_budget=risk_budget_z,
-                    pairs_mode=cfg.bucketed.pairs,
-                )
-                rc = int(np.asarray(parts[5]))
-                if rc <= risk_budget_z:
-                    break
-                while risk_budget_z < rc:
-                    risk_budget_z *= 2
-            qp, si_, sc_, cnt = parts[:4]
-            if rc:
-                qe, se, sce, ce = exact_on_risk_rows(
-                    qz_dev, parts[4], sz_pad, nsz,
-                    k=k, dim=dim, threshold=thr, max_out=max_out_z,
-                    interpret=interpret, max_abs_score=smax_z,
-                )
-                qp, si_, sc_, cnt = merge_triples(
-                    qp, si_, sc_, cnt, qe, se, sce, ce,
-                    max_out=max_out_z,
-                )
-            return (qp, si_, sc_, cnt), rc
+            nonlocal risk_budget_z, max_out_z
+            out, rc, max_out_z, risk_budget_z = drive_hybrid(
+                qzs_dev, qz_dev, zb.entries, zb.offsets, sz_pad, nsz,
+                n=cfg.shingle.n, cap=cfg.bucketed.cap,
+                num_buckets=zb.num_buckets, salts=zb.salts,
+                k=k, dim=dim, threshold=thr,
+                pairs_mode=cfg.bucketed.pairs,
+                max_out=max_out_z, risk_budget=risk_budget_z,
+                interpret=interpret, max_abs_score=smax_z,
+                grow_max_out=True,  # never truncate measured triples
+            )
+            return out, rc
 
         ev_z = run_exact_z()
         _sync(jnp, ev_z[0])

@@ -469,6 +469,57 @@ def exact_on_risk_rows(
     return qpos, sidx, sc, jnp.sum(keep.astype(jnp.int32))
 
 
+def drive_hybrid(
+    stream, q_emb, entries, offsets, s_emb_padded, ns_valid, *,
+    n, cap, num_buckets, salts, k, dim, threshold, pairs_mode,
+    max_out, risk_budget, interpret=False, max_abs_score=4608,
+    grow_max_out=False,
+):
+    """Host driver for the hybrid path: stage 1 (bucketed, at-risk rows
+    dropped) with pow2 risk-budget retry, stage 2 (exact kernel on the
+    at-risk rows) when any exist, merged triples.
+
+    This is the ONE implementation of the retry/merge contract — the
+    engine attach, the bench, and the probe script all call it so the
+    measurement harnesses cannot drift from what the engine runs.
+
+    ``grow_max_out=False`` (engine mode): a combined count above
+    ``max_out`` is returned as-is — the engine's sticky-budget retry
+    re-invokes with a bigger budget before consuming anything.
+    ``grow_max_out=True`` (bench/probe mode): this driver grows
+    ``max_out`` itself so the returned triples are never truncated.
+
+    Returns ((qpos, sidx, sc, count), risk_count, max_out, risk_budget)
+    — pass the grown budgets back in to stay sticky."""
+    while True:
+        parts = bucketed_hybrid_parts(
+            stream, q_emb, entries, offsets, s_emb_padded,
+            n=n, cap=cap, num_buckets=num_buckets, salts=salts,
+            k=k, dim=dim, threshold=threshold, max_out=max_out,
+            risk_budget=risk_budget, pairs_mode=pairs_mode,
+        )
+        rc = int(np.asarray(parts[5]))
+        if rc > risk_budget:
+            risk_budget = _next_pow2_int(rc, risk_budget * 2)
+            continue
+        qp, si, sc, cnt = parts[:4]
+        if rc:
+            qe, se, sce, ce = exact_on_risk_rows(
+                q_emb, parts[4], s_emb_padded, ns_valid,
+                k=k, dim=dim, threshold=threshold, max_out=max_out,
+                interpret=interpret, max_abs_score=max_abs_score,
+            )
+            qp, si, sc, cnt = merge_triples(
+                qp, si, sc, cnt, qe, se, sce, ce, max_out=max_out
+            )
+        if grow_max_out:
+            c = int(np.asarray(cnt))
+            if c > max_out:
+                max_out = _next_pow2_int(c, max_out * 2)
+                continue
+        return (qp, si, sc, cnt), rc, max_out, risk_budget
+
+
 @functools.partial(jax.jit, static_argnames=("max_out",))
 def merge_triples(qb, sb, scb, cb, qe, se, sce, ce, *, max_out):
     """Concatenate two compacted triple sets into one [max_out] set.
@@ -568,63 +619,73 @@ def attach_bucketed_prefilter(
         return
 
     # ---- hybrid mode (default): bucketed + exact fallback ---------------
-    interpret = bool(getattr(engine, "interpret", False))
-    smax = scfg.n * scfg.n * scfg.dim
-
-    @functools.partial(
-        jax.jit, static_argnames=("max_out", "risk_budget")
-    )
-    def stage1(stream, mults, *, max_out, risk_budget):
-        q_emb = embed_shingles(stream, scfg, mults=mults)
-        qpos, sidx, sc, count, risk_rows, risk_count = (
-            bucketed_hybrid_parts(
-                stream, q_emb, bidx.entries, bidx.offsets, s_emb_padded,
+    if bidx.overflow_frac == 0.0:
+        # No bucket anywhere overflows cap, so no query can ever be at
+        # risk: take the pure stage-1 path with NO risk machinery —
+        # crucially, no per-batch device->host risk-count pull, which
+        # would break the engine's submit/process pipelining for
+        # nothing.  (Byte-identical triples either way; the hybrid
+        # wrapper below degenerates to this when rc == 0.)
+        @functools.partial(jax.jit, static_argnames=("max_out",))
+        def candidates(stream, s_emb, ns_valid, mults, *, max_out):
+            q_emb = embed_shingles(stream, scfg, mults=mults)
+            return bucketed_candidates_flat(
+                stream, q_emb, bidx.entries, bidx.offsets, s_emb,
                 n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
                 salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
                 threshold=xcfg.candidate_threshold, max_out=max_out,
-                risk_budget=risk_budget, pairs_mode=cfg.pairs,
+                pairs_mode=cfg.pairs,
+            )
+
+        engine._use_fused = False
+        engine._candidates_fn = (
+            lambda stream, _s, _n, mults, max_out: candidates(
+                stream, s_emb_padded, _n, mults, max_out=max_out
             )
         )
-        return qpos, sidx, sc, count, risk_rows, risk_count, q_emb
+        return
+
+    interpret = bool(getattr(engine, "interpret", False))
+    smax = scfg.n * scfg.n * scfg.dim
+    embed_jit = jax.jit(
+        lambda stream, mults: embed_shingles(stream, scfg, mults=mults)
+    )
 
     # sticky risk budget, pow2-grown like the engine's candidate budget
     # (>= 1024 keeps the gathered row count tile-aligned for the kernel)
     engine._bucketed_risk_budget = max(
         1024, getattr(engine, "_bucketed_risk_budget", 0)
     )
-    # host-visible risk accounting (fraction of queries rerouted)
+    # host-visible risk accounting (fraction of queries rerouted;
+    # reset per search by SearchEngine.search_works)
     engine._bucketed_risk_queries = 0
     engine._bucketed_total_queries = 0
 
     def candidates_hybrid(stream, _s, ns_valid, mults, max_out):
-        while True:
-            rb = engine._bucketed_risk_budget
-            qpos, sidx, sc, count, risk_rows, risk_count, q_emb = stage1(
-                stream, mults, max_out=max_out, risk_budget=rb
-            )
-            rc = int(np.asarray(risk_count))
-            if rc <= rb:
-                break
-            engine._bucketed_risk_budget = _next_pow2_int(rc, rb * 2)
+        q_emb = embed_jit(stream, mults)
+        out, rc, _, engine._bucketed_risk_budget = drive_hybrid(
+            stream, q_emb, bidx.entries, bidx.offsets, s_emb_padded,
+            ns_valid,
+            n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
+            salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
+            threshold=xcfg.candidate_threshold, pairs_mode=cfg.pairs,
+            max_out=max_out, risk_budget=engine._bucketed_risk_budget,
+            interpret=interpret, max_abs_score=smax,
+            grow_max_out=False,  # the engine owns the max_out retry
+        )
         engine._bucketed_risk_queries += rc
-        engine._bucketed_total_queries += max(0, stream.shape[0] - scfg.n + 1)
-        if rc == 0:
-            return qpos, sidx, sc, count
-        qe, se, sce, ce = exact_on_risk_rows(
-            q_emb, risk_rows, s_emb_padded, ns_valid,
-            k=xcfg.k, dim=scfg.dim, threshold=xcfg.candidate_threshold,
-            max_out=max_out, interpret=interpret, max_abs_score=smax,
+        engine._bucketed_total_queries += max(
+            0, stream.shape[0] - scfg.n + 1
         )
-        return merge_triples(
-            qpos, sidx, sc, count, qe, se, sce, ce, max_out=max_out
-        )
+        return out
 
     engine._use_fused = False
     engine._candidates_fn = candidates_hybrid
 
 
 def _next_pow2_int(n: int, floor: int) -> int:
-    v = max(1, floor)
-    while v < n:
-        v *= 2
-    return v
+    """engine._next_pow2, imported lazily (the engine imports run both
+    ways at function scope, never at module scope)."""
+    from fandom_search_tpu.search.engine import _next_pow2
+
+    return _next_pow2(n, max(1, floor))

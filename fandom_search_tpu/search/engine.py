@@ -477,6 +477,11 @@ class SearchEngine:
     ) -> Tuple[List[MatchRow], EngineStats]:
         stats = EngineStats()
         scfg, xcfg = self.cfg.shingle, self.cfg.search
+        if getattr(self, "_bucketed_total_queries", 0):
+            # per-search counters (a resident `serve` engine would
+            # otherwise blend corpora into one lifetime fraction)
+            self._bucketed_risk_queries = 0
+            self._bucketed_total_queries = 0
         raw = {w: t for w, t in works.items() if not isinstance(t, Tokenized)}
         tokenized: Dict[str, Tokenized] = {
             wid: t for wid, t in works.items() if isinstance(t, Tokenized)

@@ -169,39 +169,24 @@ def main():
           f"speedup x{best_e/best_b:.1f} at recall {rec:.4f}")
 
     # ---- hybrid (bucketed + exact reroute for at-risk queries) ---------
-    from fandom_search_tpu.ops.bucketed import (
-        bucketed_hybrid_parts, exact_on_risk_rows, merge_triples,
-    )
+    from fandom_search_tpu.ops.bucketed import drive_hybrid
 
     risk_budget = 1024
     max_out = 1 << 16
 
     def run_hybrid():
-        nonlocal risk_budget
-        while True:
-            parts = bucketed_hybrid_parts(
-                q_stream_dev, q_dev, bidx.entries, bidx.offsets, s_pad,
-                n=n, cap=bcfg.cap, num_buckets=bidx.num_buckets,
-                salts=bidx.salts, k=k, dim=dim, threshold=thr,
-                max_out=max_out, risk_budget=risk_budget,
-                pairs_mode=bcfg.pairs,
-            )
-            rc = int(np.asarray(parts[5]))
-            if rc <= risk_budget:
-                break
-            while risk_budget < rc:
-                risk_budget *= 2
-        qp, si, sc, cnt = parts[:4]
-        if rc:
-            qe, se, sce, ce = exact_on_risk_rows(
-                q_dev, parts[4], s_pad, ns_valid,
-                k=k, dim=dim, threshold=thr, max_out=max_out,
-                max_abs_score=smax, interpret=interpret,
-            )
-            qp, si, sc, cnt = merge_triples(
-                qp, si, sc, cnt, qe, se, sce, ce, max_out=max_out
-            )
-        return (qp, si, sc, cnt), rc
+        nonlocal risk_budget, max_out
+        out, rc, max_out, risk_budget = drive_hybrid(
+            q_stream_dev, q_dev, bidx.entries, bidx.offsets, s_pad,
+            ns_valid,
+            n=n, cap=bcfg.cap, num_buckets=bidx.num_buckets,
+            salts=bidx.salts, k=k, dim=dim, threshold=thr,
+            pairs_mode=bcfg.pairs,
+            max_out=max_out, risk_budget=risk_budget,
+            interpret=interpret, max_abs_score=smax,
+            grow_max_out=True,  # never truncate measured triples
+        )
+        return out, rc
 
     (hqp, hsi, hsc, hcnt), rc = run_hybrid()  # warm + budget settle
     sync(hsc)

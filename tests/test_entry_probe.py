@@ -1,4 +1,4 @@
-"""Hung-tunnel guards: device probing in __graft_entry__ and bench.
+"""Hung-tunnel guards: the shared device probe and its driver entries.
 
 The axon tunnel has outage windows during which jax backend init hangs
 forever instead of erroring (observed 2026-08-17).  The driver entry
@@ -14,79 +14,81 @@ import sys
 
 import jax
 
+from fandom_search_tpu.utils import device_probe
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def test_probed_count_uses_initialized_backend(monkeypatch):
+def _boom(*a, **k):  # pragma: no cover - must not be reached
+    raise AssertionError("probe subprocess spawned despite short-circuit")
+
+
+def test_probe_uses_initialized_backend(monkeypatch):
     """With a live backend (this test process), no subprocess spawns."""
-    import __graft_entry__ as ge
-
     jax.devices()  # ensure the (virtual-CPU) backend is initialized
-
-    def boom(*a, **k):  # pragma: no cover - must not be reached
-        raise AssertionError("probe subprocess spawned despite live backend")
-
-    monkeypatch.setattr(subprocess, "run", boom)
-    assert ge._probed_device_count(8) == len(jax.devices())
+    monkeypatch.setattr(device_probe, "_run_probe_subprocess", _boom)
+    assert device_probe.probed_device_count() == len(jax.devices())
 
 
-def _fresh_probe(monkeypatch, fake_run):
-    """Call _probed_device_count with the backend-cache check disabled
-    (this test process has a live backend, which would short-circuit)."""
-    import __graft_entry__ as ge
-
-    monkeypatch.setattr(subprocess, "run", fake_run)
-
-    # disable both short-circuits: make the bridge lookup report "no
-    # backend initialized yet" and the platform config report "unset"
-    class _Bridge:
-        _backends = {}
-
-    monkeypatch.setattr(jax._src, "xla_bridge", _Bridge)
-    monkeypatch.setattr(ge, "_forced_platforms", lambda: "")
-    return ge._probed_device_count(8)
-
-
-def test_probed_count_short_circuits_on_forced_cpu(monkeypatch):
+def test_probe_short_circuits_on_forced_cpu(monkeypatch):
     """A process already forced to the CPU platform (the virtual-mesh
     re-exec child) must enumerate locally, not spawn a probe — the
     probe child would try the default platform and hang."""
-    import __graft_entry__ as ge
-
-    def boom(*a, **k):  # pragma: no cover - must not be reached
-        raise AssertionError("probe subprocess spawned despite cpu config")
-
-    monkeypatch.setattr(subprocess, "run", boom)
+    monkeypatch.setattr(device_probe, "_run_probe_subprocess", _boom)
 
     class _Bridge:
         _backends = {}
 
     monkeypatch.setattr(jax._src, "xla_bridge", _Bridge)
     # conftest forces jax_platforms=cpu in this process
-    assert ge._forced_platforms().split(",")[0] == "cpu"
-    assert ge._probed_device_count(8) == len(jax.devices())
+    assert device_probe.forced_platforms().split(",")[0] == "cpu"
+    assert device_probe.probed_device_count() == len(jax.devices())
 
 
-def test_probed_count_timeout_routes_to_virtual(monkeypatch):
-    def fake_run(*a, **k):
-        raise subprocess.TimeoutExpired(cmd=a[0], timeout=k.get("timeout"))
+def _fresh_probe(monkeypatch, fake_probe):
+    """Call probed_device_count with both short-circuits disabled (this
+    test process has a live backend and a cpu config, which would
+    short-circuit)."""
+    monkeypatch.setattr(device_probe, "_run_probe_subprocess", fake_probe)
+    monkeypatch.setattr(device_probe, "forced_platforms", lambda: "")
 
-    assert _fresh_probe(monkeypatch, fake_run) == 0
+    class _Bridge:
+        _backends = {}
+
+    monkeypatch.setattr(jax._src, "xla_bridge", _Bridge)
+    return device_probe.probed_device_count()
 
 
-def test_probed_count_failure_routes_to_virtual(monkeypatch):
-    def fake_run(*a, **k):
-        return subprocess.CompletedProcess(a[0], 1, stdout="", stderr="boom")
+def test_probe_timeout_reports_zero(monkeypatch):
+    def fake(timeout_s):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=timeout_s)
 
-    assert _fresh_probe(monkeypatch, fake_run) == 0
+    assert _fresh_probe(monkeypatch, fake) == 0
 
 
-def test_probed_count_parses_child_count(monkeypatch):
-    def fake_run(*a, **k):
-        # stderr noise lines must not confuse the parse (stdout only)
-        return subprocess.CompletedProcess(a[0], 0, stdout="4\n", stderr="")
+def test_probe_failure_reports_zero(monkeypatch):
+    def fake(timeout_s):
+        return subprocess.CompletedProcess("probe", 1, stdout="", stderr="x")
 
-    assert _fresh_probe(monkeypatch, fake_run) == 4
+    assert _fresh_probe(monkeypatch, fake) == 0
+
+
+def test_probe_parses_child_count(monkeypatch):
+    def fake(timeout_s):
+        return subprocess.CompletedProcess("probe", 0, stdout="4\n", stderr="")
+
+    assert _fresh_probe(monkeypatch, fake) == 4
+
+
+def test_graft_entry_routes_zero_to_virtual(monkeypatch):
+    """__graft_entry__._probed_device_count delegates to the shared
+    probe (0 -> dryrun_multichip takes the virtual-mesh path)."""
+    import __graft_entry__ as ge
+
+    monkeypatch.setattr(
+        device_probe, "probed_device_count", lambda *a, **k: 0
+    )
+    assert ge._probed_device_count(8) == 0
 
 
 def test_bench_quick_cpu_fallback_emits_json():
@@ -119,4 +121,4 @@ def test_bench_quick_cpu_fallback_emits_json():
     out = __import__("json").loads(line)
     assert out["metric"] == "shingle_pairs_per_sec"
     assert out["value"] > 0
-    assert "benchmarked on CPU" in r.stderr
+    assert "falling back to the CPU backend" in r.stderr
