@@ -575,24 +575,14 @@ def main(argv=None) -> int:
             _sync(jnp, run_hybrid_z()[0][2])
             best_hz = min(best_hz, time.perf_counter() - t0)
         # thresholded recall of hybrid triples vs the exact kernel
-        evn_z = np.asarray(ev_z[0])
-        hn = int(np.asarray(hcnt))
-        got_z = {}
-        for q, v in zip(
-            np.asarray(hqp)[:hn], np.round(np.asarray(hsc)[:hn] * dim)
-        ):
-            got_z.setdefault(int(q), []).append(float(v))
-        tot_z = hit_z = 0
-        for i in range(0, nq_z, 17):
-            keepm = evn_z[i] >= thr
-            if not keepm.any():
-                continue
-            have = got_z.get(i, [])
-            for v in np.round(evn_z[i][keepm] * dim):
-                tot_z += 1
-                if v in have:
-                    have.remove(v)
-                    hit_z += 1
+        from fandom_search_tpu.ops.bucketed import (
+            thresholded_recall_vs_exact,
+        )
+
+        rec_z, tot_z = thresholded_recall_vs_exact(
+            ev_z[0], hqp, hsc, hcnt, dim=dim, threshold=thr, stride=17,
+        )
+        hit_z = round(rec_z * tot_z)
         details.update({
             "bucketed_zipf_ns": zipf_ns,
             "bucketed_zipf_risk_frac": rc_z / max(1, nq_z),

@@ -520,6 +520,35 @@ def drive_hybrid(
         return (qp, si, sc, cnt), rc, max_out, risk_budget
 
 
+def thresholded_recall_vs_exact(
+    exact_vals, qpos, scores, count, *, dim, threshold, stride=1,
+):
+    """Measurement helper shared by bench config #5c and
+    scripts/bucketed_probe.py: fraction of the exact kernel's
+    above-threshold top-k entries that the candidate triples reproduce
+    with an equal score (multiset per query — ties must be matched one
+    for one).  ``stride`` subsamples queries."""
+    evn = np.asarray(exact_vals)
+    n = int(np.asarray(count))
+    got = {}
+    for q, v in zip(
+        np.asarray(qpos)[:n], np.round(np.asarray(scores)[:n] * dim)
+    ):
+        got.setdefault(int(q), []).append(float(v))
+    tot = hit = 0
+    for i in range(0, evn.shape[0], stride):
+        keep = evn[i] >= threshold
+        if not keep.any():
+            continue
+        have = got.get(i, [])
+        for v in np.round(evn[i][keep] * dim):
+            tot += 1
+            if v in have:
+                have.remove(v)
+                hit += 1
+    return hit / max(1, tot), tot
+
+
 @functools.partial(jax.jit, static_argnames=("max_out",))
 def merge_triples(qb, sb, scb, cb, qe, se, sce, ce, *, max_out):
     """Concatenate two compacted triple sets into one [max_out] set.

@@ -196,27 +196,15 @@ def main():
         sync(run_hybrid()[0][2])
         best_h = min(best_h, time.perf_counter() - t0)
     # thresholded recall of the hybrid triples vs the exact kernel
-    hn = int(np.asarray(hcnt))
-    got_h = {}
-    for q, v in zip(
-        np.asarray(hqp)[:hn], np.round(np.asarray(hsc)[:hn] * dim)
-    ):
-        got_h.setdefault(int(q), []).append(float(v))
-    tot_h = hit_h = 0
-    for i in range(0, nq, 37):
-        keep = evn[i] >= thr
-        if not keep.any():
-            continue
-        have = got_h.get(i, [])
-        for v in np.round(evn[i][keep] * dim):
-            tot_h += 1
-            if v in have:
-                have.remove(v)
-                hit_h += 1
+    from fandom_search_tpu.ops.bucketed import thresholded_recall_vs_exact
+
+    rec_h, tot_h = thresholded_recall_vs_exact(
+        evn, hqp, hsc, hcnt, dim=dim, threshold=thr, stride=37,
+    )
     print(f"HYBRID: {best_h*1e3:.1f} ms ({pairs/best_h/1e9:.1f} G "
           f"pairs/s-equiv) | at-risk queries {rc}/{nq} "
           f"({rc/max(1,nq):.1%}) | vs exact x{best_e/best_h:.2f} | "
-          f"thresholded recall {hit_h/max(1,tot_h):.4f} "
+          f"thresholded recall {rec_h:.4f} "
           f"(subsampled, {tot_h} entries)")
 
 
