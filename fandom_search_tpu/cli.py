@@ -73,7 +73,9 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bucketed", action="store_true",
                    help="use the sub-linear bucketed inverted-index "
                         "prefilter (recommended for very large script "
-                        "indexes, e.g. whole-season search)")
+                        "indexes, e.g. whole-season search); queries "
+                        "hitting overflowed (stopword-pair) buckets "
+                        "reroute through the exact kernel automatically")
     p.add_argument("--bucketed-pairs", choices=("triangles", "all"),
                    default=None,
                    help="probe set: 'triangles' (6 probes, >=3-match "
