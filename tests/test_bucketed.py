@@ -338,13 +338,15 @@ def test_pure_mode_refuses_skewed_corpus(rng):
         )
 
 
-def test_hybrid_rescues_skewed_corpus(rng):
+@pytest.mark.parametrize("seed", [42, 7, 1234])
+def test_hybrid_rescues_skewed_corpus(seed):
     """Default hybrid mode on the same skewed corpus: at-risk queries
     reroute through the exact kernel, and engine rows equal the exact
     engine's rows (where the pure bucketed path measured thresholded
-    recall 0.06)."""
+    recall 0.06).  Fuzzed across corpus seeds."""
     from fandom_search_tpu.search.engine import SearchEngine
 
+    rng = np.random.default_rng(seed)
     _, index, works = _skewed_world(rng)
     cfg = dataclasses.replace(
         CFG, search=dataclasses.replace(CFG.search, batch_queries=4096)
