@@ -157,3 +157,24 @@ def test_matrix_carries_script_column(multi_world):
         [r._replace(script="") for r in rows[:3]]
     )
     assert all("script" not in rec for rec in single)
+
+
+def test_multiscript_with_bucketed_prefilter(multi_world):
+    """The bucketed prefilter attaches to a multi-script (concatenated)
+    index — concat_indexes carries shingle_windows — and reproduces the
+    exact engine's rows including script attribution."""
+    from fandom_search_tpu.config import BucketedConfig
+    from fandom_search_tpu.ops.bucketed import attach_bucketed_prefilter
+
+    cfg, _, _, index, works, _, _ = multi_world
+    exact = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    want, _ = exact.search_works(works)
+    assert want
+
+    eng = SearchEngine(index, cfg, use_pallas=True, interpret=True)
+    attach_bucketed_prefilter(eng, BucketedConfig())
+    got, _ = eng.search_works(works)
+    key = lambda r: (  # noqa: E731
+        r.work_id, r.fan_token_start, r.line_no, r.script,
+    )
+    assert {key(r) for r in got} == {key(r) for r in want}
