@@ -504,8 +504,13 @@ def drive_hybrid(
             continue
         qp, si, sc, cnt = parts[:4]
         if rc:
+            # Right-size stage 2 to the ACTUAL at-risk count: the
+            # sticky risk_budget only grows, and the exact kernel's
+            # cost is O(rows * NS) — one stopword-dense batch must not
+            # make every later rc=1 batch pay a full budget-sized pass.
+            rb2 = _next_pow2_int(rc, 1024)
             qe, se, sce, ce = exact_on_risk_rows(
-                q_emb, parts[4], s_emb_padded, ns_valid,
+                q_emb, parts[4][:rb2], s_emb_padded, ns_valid,
                 k=k, dim=dim, threshold=threshold, max_out=max_out,
                 interpret=interpret, max_abs_score=max_abs_score,
             )
@@ -563,6 +568,33 @@ def merge_triples(qb, sb, scb, cb, qe, se, sce, ce, *, max_out):
     s = jnp.where(from_e, se[j], sb)
     sc = jnp.where(from_e, sce[j], scb)
     return q, s, sc, cb + ce
+
+
+def _attach_pure_flat(engine, cfg, bidx, s_emb_padded) -> None:
+    """Wire the pure flat bucketed path as the engine's candidate
+    stage (shared by hybrid=False and the zero-overflow fast path)."""
+    from fandom_search_tpu.data.shingler import embed_shingles
+
+    scfg = engine.cfg.shingle
+    xcfg = engine.cfg.search
+
+    @functools.partial(jax.jit, static_argnames=("max_out",))
+    def candidates(stream, s_emb, ns_valid, mults, *, max_out):
+        q_emb = embed_shingles(stream, scfg, mults=mults)
+        return bucketed_candidates_flat(
+            stream, q_emb, bidx.entries, bidx.offsets, s_emb,
+            n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
+            salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
+            threshold=xcfg.candidate_threshold, max_out=max_out,
+            pairs_mode=cfg.pairs,
+        )
+
+    engine._use_fused = False
+    engine._candidates_fn = (
+        lambda stream, _s, _n, mults, max_out: candidates(
+            stream, s_emb_padded, _n, mults, max_out=max_out
+        )
+    )
 
 
 def attach_bucketed_prefilter(
@@ -627,51 +659,15 @@ def attach_bucketed_prefilter(
     s_emb_padded = engine._s_emb_padded
     ns_true = engine.index.num_shingles
 
-    if not cfg.hybrid:
-        @functools.partial(jax.jit, static_argnames=("max_out",))
-        def candidates(stream, s_emb, ns_valid, mults, *, max_out):
-            q_emb = embed_shingles(stream, scfg, mults=mults)
-            return bucketed_candidates_flat(
-                stream, q_emb, bidx.entries, bidx.offsets, s_emb,
-                n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
-                salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
-                threshold=xcfg.candidate_threshold, max_out=max_out,
-                pairs_mode=cfg.pairs,
-            )
-
-        engine._use_fused = False
-        engine._candidates_fn = (
-            lambda stream, _s, _n, mults, max_out: candidates(
-                stream, s_emb_padded, _n, mults, max_out=max_out
-            )
-        )
-        return
-
-    # ---- hybrid mode (default): bucketed + exact fallback ---------------
-    if bidx.overflow_frac == 0.0:
-        # No bucket anywhere overflows cap, so no query can ever be at
-        # risk: take the pure stage-1 path with NO risk machinery —
-        # crucially, no per-batch device->host risk-count pull, which
+    if not cfg.hybrid or bidx.overflow_frac == 0.0:
+        # Pure stage-1 path, two ways in: hybrid explicitly disabled,
+        # or NO bucket anywhere overflows cap so no query can ever be
+        # at risk.  In the latter case skipping the risk machinery
+        # matters: no per-batch device->host risk-count pull, which
         # would break the engine's submit/process pipelining for
         # nothing.  (Byte-identical triples either way; the hybrid
         # wrapper below degenerates to this when rc == 0.)
-        @functools.partial(jax.jit, static_argnames=("max_out",))
-        def candidates(stream, s_emb, ns_valid, mults, *, max_out):
-            q_emb = embed_shingles(stream, scfg, mults=mults)
-            return bucketed_candidates_flat(
-                stream, q_emb, bidx.entries, bidx.offsets, s_emb,
-                n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
-                salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
-                threshold=xcfg.candidate_threshold, max_out=max_out,
-                pairs_mode=cfg.pairs,
-            )
-
-        engine._use_fused = False
-        engine._candidates_fn = (
-            lambda stream, _s, _n, mults, max_out: candidates(
-                stream, s_emb_padded, _n, mults, max_out=max_out
-            )
-        )
+        _attach_pure_flat(engine, cfg, bidx, s_emb_padded)
         return
 
     interpret = bool(getattr(engine, "interpret", False))
@@ -685,8 +681,12 @@ def attach_bucketed_prefilter(
     engine._bucketed_risk_budget = max(
         1024, getattr(engine, "_bucketed_risk_budget", 0)
     )
-    # host-visible risk accounting (fraction of queries rerouted;
-    # reset per search by SearchEngine.search_works)
+    # Host-visible risk accounting, reset per search by
+    # SearchEngine.search_works.  APPROXIMATE by design: both counters
+    # accumulate per invocation over the padded stream positions, so an
+    # engine budget retry re-counts its batch (numerator and
+    # denominator together — the per-batch ratio is preserved, the
+    # cross-batch weighting slightly favors retried batches).
     engine._bucketed_risk_queries = 0
     engine._bucketed_total_queries = 0
 

@@ -555,7 +555,9 @@ class SearchEngine:
         )
         stats.seconds_host += time.perf_counter() - t0
         # hybrid bucketed prefilter observability (ops/bucketed.py):
-        # fraction of query shingles rerouted through the exact kernel
+        # ~fraction of stream positions rerouted through the exact
+        # kernel (approximate: counted per candidate-fn invocation over
+        # padded streams — see the counter definition in bucketed.py)
         if getattr(self, "_bucketed_total_queries", 0):
             stats.extra["bucketed_risk_frac"] = (
                 self._bucketed_risk_queries / self._bucketed_total_queries

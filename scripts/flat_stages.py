@@ -91,7 +91,7 @@ def main():
     def sync(x):
         return np.asarray(jnp.sum(x[0].astype(jnp.float32) if isinstance(x, tuple) else x.astype(jnp.float32)))
 
-    cand, ok = st_probe(qs_dev)
+    cand, ok, _ = st_probe(qs_dev)
     sync(cand)
     pos = st_compact(ok)
     sync(pos)
