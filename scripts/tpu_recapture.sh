@@ -1,7 +1,7 @@
 #!/bin/bash
 # Post-outage TPU measurement sequence: interleaved kernel A/Bs first
-# (phase-robust), then the standard bench capture.  Logs to stdout;
-# run with  bash scripts/tpu_recapture.sh | tee /tmp/recapture.log
+# (phase-robust), then probes, then the standard bench capture.
+# Run with  bash scripts/tpu_recapture.sh 2>&1 | tee /tmp/recapture.log
 set -u
 cd "$(dirname "$0")/.."
 
@@ -14,5 +14,17 @@ timeout 1200 python scripts/tile_sweep.py || echo "tile_sweep FAILED rc=$?"
 echo "=== kernel floor chain ==="
 timeout 1200 python scripts/kernel_floor.py || echo "kernel_floor FAILED rc=$?"
 
-echo "=== standard bench (captures bench_details.json) ==="
+echo "=== bucketed + hybrid at 2^20 (uniform) ==="
+timeout 1800 python scripts/bucketed_probe.py 20 17 || echo "bucketed_probe FAILED rc=$?"
+
+echo "=== bucketed + hybrid at 2^20 (zipf — the hybrid's target regime) ==="
+timeout 1800 python scripts/bucketed_probe.py 20 17 zipf || echo "bucketed_probe zipf FAILED rc=$?"
+
+echo "=== e2e 10k works steady-state with stage attribution ==="
+timeout 1800 python scripts/e2e_probe.py 10000 4 || echo "e2e_probe FAILED rc=$?"
+
+echo "=== standard bench (captures bench_details.json incl. #5c) ==="
 timeout 3600 python bench.py || echo "bench FAILED rc=$?"
+
+echo "=== driver entry + multichip dryrun ==="
+timeout 1800 python __graft_entry__.py || echo "graft_entry FAILED rc=$?"
