@@ -171,7 +171,50 @@ int64_t fs_encode_stream(const uint32_t* stream, int64_t n,
   return nmiss;
 }
 
+// Build ONE probe table of the bucketed inverted index
+// (ops/bucketed.py BucketedIndex.build): counting sort of shingle ids
+// by bucket key, ties in ascending id (bit-identical to NumPy's
+// stable argsort).  Key mix must match ops/bucketed.py _bucket_ids:
+// fmix32(fmix32(w_a + salt) ^ w_b) & mask, wrapping u32 arithmetic.
+//   wa, wb  : word-hash columns [ns] (window positions a and b)
+//   keys    : scratch [ns] (caller-allocated so the builder is
+//             allocation-free and thread-safe)
+//   entries : out [ns] shingle ids sorted by bucket
+//   offsets : out [num_buckets + 1] CSR boundaries (int32: bucket
+//             boundaries are shingle counts, always < 2^31, and the
+//             narrower type halves the dominant memory traffic —
+//             num_buckets is ~4x ns)
+//   mask    : num_buckets - 1 (num_buckets is a power of two)
+//   cap     : bucket capacity for the overflow accounting
+// Returns the number of entries living in over-cap buckets.
+int64_t fs_bucketed_table(const uint32_t* wa, const uint32_t* wb,
+                          int64_t ns, uint32_t salt, uint32_t mask,
+                          int32_t cap, uint32_t* keys, int32_t* entries,
+                          int32_t* offsets) {
+  const int64_t nbuckets = (int64_t)mask + 1;
+  for (int64_t b = 0; b <= nbuckets; ++b) offsets[b] = 0;
+  for (int64_t i = 0; i < ns; ++i) {
+    uint32_t k = fmix32(fmix32(wa[i] + salt) ^ wb[i]) & mask;
+    keys[i] = k;
+    ++offsets[k + 1];  // counts, shifted one right
+  }
+  int64_t over = 0;
+  for (int64_t b = 1; b <= nbuckets; ++b) {
+    if (offsets[b] > cap) over += offsets[b];
+    offsets[b] += offsets[b - 1];  // exclusive prefix -> CSR
+  }
+  // stable scatter: ascending i placement preserves id order per
+  // bucket.  offsets double as cursors (each ends at the next bucket's
+  // start), then one shift restores the CSR — no allocation.
+  for (int64_t i = 0; i < ns; ++i) {
+    entries[offsets[keys[i]]++] = (int32_t)i;
+  }
+  for (int64_t b = nbuckets; b >= 1; --b) offsets[b] = offsets[b - 1];
+  offsets[0] = 0;
+  return over;
+}
+
 // Version stamp so Python can detect stale binaries.
-int32_t fs_abi_version() { return 3; }
+int32_t fs_abi_version() { return 4; }
 
 }  // extern "C"

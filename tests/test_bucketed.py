@@ -430,3 +430,39 @@ def test_hybrid_risk_budget_retry(rng):
     assert eng._bucketed_risk_budget > 1024  # the retry path ran
     key = lambda r: (r.work_id, r.fan_token_start, r.line_no)  # noqa: E731
     assert {key(r) for r in got} == {key(r) for r in want}
+
+
+def test_native_table_build_parity(rng):
+    """The C++ counting-sort table build (fastingest.cpp
+    fs_bucketed_table) must be bit-identical to the NumPy
+    stable-argsort path: entries, offsets, and overflow accounting."""
+    import fandom_search_tpu.ops.bucketed as B
+    from fandom_search_tpu.data.fast_tokenizer import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    # uniform + skewed (hot repeated pair -> overflow) streams
+    streams = [
+        rng.integers(0, 2**32, size=3000, dtype=np.uint32),
+    ]
+    skew = rng.integers(0, 2**32, size=3000, dtype=np.uint32)
+    skew[::3] = 7
+    skew[1::3] = 9  # every third window shares the (7, 9) pair
+    streams.append(skew)
+    for s_stream in streams:
+        windows = shingle_hashes(s_stream, SCFG)
+        nat = B.BucketedIndex.build(windows, BCFG, SCFG)
+        orig = B._build_tables_native
+        B._build_tables_native = lambda *a, **k: None
+        try:
+            ref = B.BucketedIndex.build(windows, BCFG, SCFG)
+        finally:
+            B._build_tables_native = orig
+        np.testing.assert_array_equal(
+            np.asarray(nat.entries), np.asarray(ref.entries)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(nat.offsets), np.asarray(ref.offsets)
+        )
+        assert nat.overflow_frac == ref.overflow_frac
