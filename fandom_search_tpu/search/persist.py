@@ -136,8 +136,9 @@ def _bucketed_identity(cfg) -> dict:
 
 def save_bucketed(path: str | Path, bidx, cfg) -> None:
     """Persist a built BucketedIndex (ops/bucketed.py) next to the
-    script index — the inverted tables are ~10s to build + upload at
-    10^6 shingles."""
+    script index — the inverted tables are ~1s to build (native
+    counting sort) + upload at 10^6 shingles, ~4s at 4*10^6; loading
+    still beats rebuilding and keeps attach deterministic."""
     import orbax.checkpoint as ocp
 
     path = Path(path).resolve()
