@@ -92,12 +92,19 @@ class SearchService:
             matches=len(rows),
             search_seconds=dt,
         )
-        return rows, {
+        meta = {
             "works": len(works),
             "num_matches": len(rows),
             "query_shingles": stats.num_query_shingles,
             "seconds": round(dt, 4),
         }
+        if stats.extra:
+            # per-run engine observability (stage timings; the hybrid
+            # bucketed prefilter's reroute fraction when attached)
+            meta["engine_extra"] = {
+                k: round(float(v), 6) for k, v in stats.extra.items()
+            }
+        return rows, meta
 
     def health(self) -> dict:
         import jax
