@@ -17,7 +17,7 @@ empty at survey time, so citations point at SURVEY.md sections instead
 of reference file:line (see SURVEY.md section 0 for the evidence basis).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml [project].version
 
 from fandom_search_tpu.config import (  # noqa: F401
     ShingleConfig,
