@@ -24,7 +24,7 @@ to stderr + bench_details.json.
 
 Env knobs: BENCH_NQ, BENCH_NS, BENCH_CPU_NQ, BENCH_E2E_WORKS,
 BENCH_CPU_E2E_WORKS, BENCH_SKIP_E2E=1, BENCH_NO_PROBE=1 (skip the
-hung-tunnel device probe), BENCH_PROBE_TIMEOUT (seconds, default 300),
+hung-tunnel device probe), BENCH_PROBE_TIMEOUT (seconds, default 120),
 BENCH_QUICK=1 (or --quick):
 kernel-only regression check against bench_expected.json (fails the
 process if the rate drops below 85% of the recorded best).

@@ -27,7 +27,10 @@ import os
 import subprocess
 import sys
 
-_DEFAULT_TIMEOUT_S = 300
+#  Healthy init on this box is 20-40 s; during an outage the probe
+#  burns its full timeout, so the default trades a wide safety margin
+#  against delaying every degraded capture by that much.
+_DEFAULT_TIMEOUT_S = 120
 
 
 def forced_platforms() -> str:
@@ -44,7 +47,7 @@ def probed_device_count(timeout_s: int | None = None) -> int:
     """Device count via a timed subprocess; 0 when init hangs or fails.
 
     ``timeout_s`` defaults to $FS_DEVICE_PROBE_TIMEOUT (or the legacy
-    BENCH_PROBE_TIMEOUT / DRYRUN_PROBE_TIMEOUT names), else 300 s.
+    BENCH_PROBE_TIMEOUT / DRYRUN_PROBE_TIMEOUT names), else 120 s.
     """
     import jax
 
