@@ -19,12 +19,16 @@ and an end-to-end corpus run (default 10k fanworks vs one script) with
 an honestly extrapolated CPU-oracle wall-clock for e2e_speedup_vs_cpu.
 
 The one stdout line reports the primary BASELINE.json:2 metric,
-shingle-pairs/sec through the engine-mode kernel; everything else goes
-to stderr + bench_details.json.
+shingle-pairs/sec through the engine-mode kernel, and always carries
+`backend` ("tpu"/"cpu") and `degraded` (true when the capture ran on
+the CPU fallback) so a blocked-tunnel bench can never pose as a TPU
+record; everything else goes to stderr + bench_details.json.
 
 Env knobs: BENCH_NQ, BENCH_NS, BENCH_CPU_NQ, BENCH_E2E_WORKS,
 BENCH_CPU_E2E_WORKS, BENCH_SKIP_E2E=1, BENCH_NO_PROBE=1 (skip the
 hung-tunnel device probe), BENCH_PROBE_TIMEOUT (seconds, default 120),
+BENCH_FORCE_DEGRADED=1 (simulate an outage: CPU fallback + degraded
+flag, for testing the capture contract),
 BENCH_QUICK=1 (or --quick):
 kernel-only regression check against bench_expected.json (fails the
 process if the rate drops below 85% of the recorded best).
@@ -67,6 +71,20 @@ def _time(jnp, fn, iters=10, rounds=3):
         _sync(jnp, out)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
+
+
+def driver_line(metric, value, unit, vs_baseline, platform, degraded):
+    """The ONE stdout JSON line the driver parses.
+
+    `backend`/`degraded` are part of the contract (VERDICT r2 #2): a
+    CPU-fallback capture must be distinguishable from a TPU record in
+    BENCH_r*.json itself, not just in stderr / bench_details.json.
+    """
+    return {
+        "metric": metric, "value": value, "unit": unit,
+        "vs_baseline": vs_baseline,
+        "backend": platform, "degraded": bool(degraded),
+    }
 
 
 def _recall_by_score(want_vals, got_vals, dim, k):
@@ -132,7 +150,13 @@ def main(argv=None) -> int:
     )
 
     probe_note = None
-    if not os.environ.get("BENCH_NO_PROBE"):
+    if os.environ.get("BENCH_FORCE_DEGRADED"):
+        # Test hook: simulate a hung tunnel so the degraded-capture
+        # contract (backend/degraded in the driver line) is assertable
+        # without a real outage.
+        probe_note = "forced degraded capture (BENCH_FORCE_DEGRADED)"
+        fallback_to_cpu("forced degraded capture")
+    elif not os.environ.get("BENCH_NO_PROBE"):
         if probed_device_count() == 0:
             probe_note = "device init hung or failed; benchmarked on CPU"
             fallback_to_cpu("device init hung or failed")
@@ -189,7 +213,8 @@ def main(argv=None) -> int:
     q_dev = jnp.asarray(q_emb)
     s_pad, ns_valid = pad_rows(jnp.asarray(s_emb), cfg.search.script_pad_multiple)
 
-    details = {"device": str(jax.devices()[0]), "nq": nq, "ns": ns}
+    details = {"device": str(jax.devices()[0]), "backend": platform,
+               "degraded": bool(probe_note), "nq": nq, "ns": ns}
     if probe_note:
         details["probe_note"] = probe_note
 
@@ -223,8 +248,8 @@ def main(argv=None) -> int:
 
     if quick:
         expected_path = Path(__file__).with_name("bench_expected.json")
-        out = {"metric": "shingle_pairs_per_sec", "value": round(rate_engine),
-               "unit": "pairs/s", "vs_baseline": 0}
+        out = driver_line("shingle_pairs_per_sec", round(rate_engine),
+                          "pairs/s", 0, platform, probe_note)
         if probe_note:
             log("CPU fallback: skipping regression compare against "
                 "TPU-recorded rates")
@@ -726,12 +751,10 @@ def main(argv=None) -> int:
         json.dump(details, f, indent=2)
     log("details -> bench_details.json")
 
-    print(json.dumps({
-        "metric": "shingle_pairs_per_sec",
-        "value": round(rate_engine),
-        "unit": "pairs/s",
-        "vs_baseline": round(rate_engine / cpu_rate, 2),
-    }))
+    print(json.dumps(driver_line(
+        "shingle_pairs_per_sec", round(rate_engine), "pairs/s",
+        round(rate_engine / cpu_rate, 2), platform, probe_note,
+    )))
     return 0
 
 

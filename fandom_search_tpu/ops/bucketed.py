@@ -517,6 +517,85 @@ def exact_on_risk_rows(
     return qpos, sidx, sc, jnp.sum(keep.astype(jnp.int32))
 
 
+class HybridSubmission:
+    """Stage 1 dispatched NOW, the data-dependent rest deferred.
+
+    Constructing this submits the bucketed stage-1 jit (async
+    dispatch, no host sync); ``resolve()`` pulls the at-risk count and
+    runs the risk-budget retry / exact-fallback stage 2 / merge.
+    Splitting submit from resolve lets the engine queue batch N+1's
+    stage 1 BEFORE syncing batch N (advisor r2 low: the eager rc pull
+    in drive_hybrid serialized the lookahead pipeline even for rc=0
+    batches)."""
+
+    def __init__(
+        self, stream, q_emb, entries, offsets, s_emb_padded, ns_valid,
+        *, n, cap, num_buckets, salts, k, dim, threshold, pairs_mode,
+        max_out, risk_budget, interpret=False, max_abs_score=4608,
+        grow_max_out=False,
+    ):
+        self._kw = dict(
+            n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k,
+            dim=dim, threshold=threshold, pairs_mode=pairs_mode,
+            interpret=interpret, max_abs_score=max_abs_score,
+        )
+        self._args = (stream, q_emb, entries, offsets, s_emb_padded,
+                      ns_valid)
+        self.max_out = max_out
+        self.risk_budget = risk_budget
+        self.grow_max_out = grow_max_out
+        self._parts = self._submit()
+
+    def _submit(self):
+        stream, q_emb, entries, offsets, s_emb_padded, _ = self._args
+        kw = self._kw
+        return bucketed_hybrid_parts(
+            stream, q_emb, entries, offsets, s_emb_padded,
+            n=kw["n"], cap=kw["cap"], num_buckets=kw["num_buckets"],
+            salts=kw["salts"], k=kw["k"], dim=kw["dim"],
+            threshold=kw["threshold"], max_out=self.max_out,
+            risk_budget=self.risk_budget, pairs_mode=kw["pairs_mode"],
+        )
+
+    def resolve(self):
+        """Returns ((qpos, sidx, sc, count), risk_count, max_out,
+        risk_budget) — pass the grown budgets back in to stay sticky."""
+        _, q_emb, _, _, s_emb_padded, ns_valid = self._args
+        kw = self._kw
+        while True:
+            parts = self._parts
+            rc = int(np.asarray(parts[5]))
+            if rc > self.risk_budget:
+                self.risk_budget = _next_pow2_int(rc, self.risk_budget * 2)
+                self._parts = self._submit()
+                continue
+            qp, si, sc, cnt = parts[:4]
+            if rc:
+                # Right-size stage 2 to the ACTUAL at-risk count: the
+                # sticky risk_budget only grows, and the exact kernel's
+                # cost is O(rows * NS) — one stopword-dense batch must
+                # not make every later rc=1 batch pay a full
+                # budget-sized pass.
+                rb2 = _next_pow2_int(rc, 1024)
+                qe, se, sce, ce = exact_on_risk_rows(
+                    q_emb, parts[4][:rb2], s_emb_padded, ns_valid,
+                    k=kw["k"], dim=kw["dim"], threshold=kw["threshold"],
+                    max_out=self.max_out, interpret=kw["interpret"],
+                    max_abs_score=kw["max_abs_score"],
+                )
+                qp, si, sc, cnt = merge_triples(
+                    qp, si, sc, cnt, qe, se, sce, ce,
+                    max_out=self.max_out,
+                )
+            if self.grow_max_out:
+                c = int(np.asarray(cnt))
+                if c > self.max_out:
+                    self.max_out = _next_pow2_int(c, self.max_out * 2)
+                    self._parts = self._submit()
+                    continue
+            return (qp, si, sc, cnt), rc, self.max_out, self.risk_budget
+
+
 def drive_hybrid(
     stream, q_emb, entries, offsets, s_emb_padded, ns_valid, *,
     n, cap, num_buckets, salts, k, dim, threshold, pairs_mode,
@@ -528,8 +607,9 @@ def drive_hybrid(
     at-risk rows) when any exist, merged triples.
 
     This is the ONE implementation of the retry/merge contract — the
-    engine attach, the bench, and the probe script all call it so the
-    measurement harnesses cannot drift from what the engine runs.
+    engine attach (via HybridSubmission for pipelining), the bench,
+    and the probe script all run it so the measurement harnesses
+    cannot drift from what the engine runs.
 
     ``grow_max_out=False`` (engine mode): a combined count above
     ``max_out`` is returned as-is — the engine's sticky-budget retry
@@ -539,38 +619,13 @@ def drive_hybrid(
 
     Returns ((qpos, sidx, sc, count), risk_count, max_out, risk_budget)
     — pass the grown budgets back in to stay sticky."""
-    while True:
-        parts = bucketed_hybrid_parts(
-            stream, q_emb, entries, offsets, s_emb_padded,
-            n=n, cap=cap, num_buckets=num_buckets, salts=salts,
-            k=k, dim=dim, threshold=threshold, max_out=max_out,
-            risk_budget=risk_budget, pairs_mode=pairs_mode,
-        )
-        rc = int(np.asarray(parts[5]))
-        if rc > risk_budget:
-            risk_budget = _next_pow2_int(rc, risk_budget * 2)
-            continue
-        qp, si, sc, cnt = parts[:4]
-        if rc:
-            # Right-size stage 2 to the ACTUAL at-risk count: the
-            # sticky risk_budget only grows, and the exact kernel's
-            # cost is O(rows * NS) — one stopword-dense batch must not
-            # make every later rc=1 batch pay a full budget-sized pass.
-            rb2 = _next_pow2_int(rc, 1024)
-            qe, se, sce, ce = exact_on_risk_rows(
-                q_emb, parts[4][:rb2], s_emb_padded, ns_valid,
-                k=k, dim=dim, threshold=threshold, max_out=max_out,
-                interpret=interpret, max_abs_score=max_abs_score,
-            )
-            qp, si, sc, cnt = merge_triples(
-                qp, si, sc, cnt, qe, se, sce, ce, max_out=max_out
-            )
-        if grow_max_out:
-            c = int(np.asarray(cnt))
-            if c > max_out:
-                max_out = _next_pow2_int(c, max_out * 2)
-                continue
-        return (qp, si, sc, cnt), rc, max_out, risk_budget
+    return HybridSubmission(
+        stream, q_emb, entries, offsets, s_emb_padded, ns_valid,
+        n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k,
+        dim=dim, threshold=threshold, pairs_mode=pairs_mode,
+        max_out=max_out, risk_budget=risk_budget, interpret=interpret,
+        max_abs_score=max_abs_score, grow_max_out=grow_max_out,
+    ).resolve()
 
 
 def thresholded_recall_vs_exact(
@@ -738,26 +793,42 @@ def attach_bucketed_prefilter(
     engine._bucketed_risk_queries = 0
     engine._bucketed_total_queries = 0
 
-    def candidates_hybrid(stream, _s, ns_valid, mults, max_out):
-        q_emb = embed_jit(stream, mults)
-        out, rc, _, engine._bucketed_risk_budget = drive_hybrid(
-            stream, q_emb, bidx.entries, bidx.offsets, s_emb_padded,
-            ns_valid,
-            n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
-            salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
-            threshold=xcfg.candidate_threshold, pairs_mode=cfg.pairs,
-            max_out=max_out, risk_budget=engine._bucketed_risk_budget,
-            interpret=interpret, max_abs_score=smax,
-            grow_max_out=False,  # the engine owns the max_out retry
-        )
-        engine._bucketed_risk_queries += rc
-        engine._bucketed_total_queries += max(
-            0, stream.shape[0] - scfg.n + 1
-        )
-        return out
+    class _DeferredHybrid:
+        """Duck-typed deferred candidates (engine._process_batch calls
+        ``resolve()`` at process time): stage 1 is already dispatched
+        by construction, so the submit path stays sync-free and the
+        lookahead pipeline survives nonzero overflow_frac corpora."""
+
+        def __init__(self, stream, max_out):
+            q_emb = embed_jit(stream, engine._mults)
+            self._stream_len = int(stream.shape[0])
+            self._sub = HybridSubmission(
+                stream, q_emb, bidx.entries, bidx.offsets,
+                s_emb_padded, engine._ns_valid,
+                n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
+                salts=bidx.salts, k=xcfg.k, dim=scfg.dim,
+                threshold=xcfg.candidate_threshold,
+                pairs_mode=cfg.pairs, max_out=max_out,
+                risk_budget=engine._bucketed_risk_budget,
+                interpret=interpret, max_abs_score=smax,
+                grow_max_out=False,  # the engine owns the max_out retry
+            )
+
+        def resolve(self):
+            out, rc, _, engine._bucketed_risk_budget = (
+                self._sub.resolve()
+            )
+            engine._bucketed_risk_queries += rc
+            engine._bucketed_total_queries += max(
+                0, self._stream_len - scfg.n + 1
+            )
+            return out
 
     engine._use_fused = False
-    engine._candidates_fn = candidates_hybrid
+    engine._candidates_fn = (
+        lambda stream, _s, _n, mults, max_out:
+            _DeferredHybrid(stream, max_out)
+    )
 
 
 def _next_pow2_int(n: int, floor: int) -> int:

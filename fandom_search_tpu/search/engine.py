@@ -739,6 +739,11 @@ class SearchEngine:
         scfg, xcfg = self.cfg.shingle, self.cfg.search
 
         t0 = time.perf_counter()
+        # Deferred candidates (e.g. the bucketed hybrid) postpone their
+        # data-dependent host sync to HERE — after later batches' device
+        # work is already queued — so the lookahead pipeline survives.
+        if hasattr(out, "resolve"):
+            out = out.resolve()
         qpos_d, sidx_d, score_d, count_d = out
         while True:
             # only the compacted candidate triples cross device->host
@@ -754,10 +759,13 @@ class SearchEngine:
                 "budget %d", count, budget,
             )
             self._cand_budget = max(self._cand_budget, budget)
-            qpos_d, sidx_d, score_d, count_d = self._candidates_fn(
+            out = self._candidates_fn(
                 stream_dev, self._s_emb_padded, self._ns_valid, self._mults,
                 max_out=budget,
             )
+            if hasattr(out, "resolve"):
+                out = out.resolve()
+            qpos_d, sidx_d, score_d, count_d = out
         n_kept = count
         # Device->host transfers ride a ~10ms-latency / ~30MB/s tunnel
         # here: slice the compacted outputs to a pow2 bucket of the

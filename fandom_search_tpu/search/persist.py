@@ -18,6 +18,7 @@ from typing import Tuple
 import numpy as np
 
 from fandom_search_tpu.config import (
+    BucketedConfig,
     LSHConfig,
     PipelineConfig,
     SearchConfig,
@@ -59,6 +60,12 @@ def save_index(index: ScriptIndex, cfg: PipelineConfig, path: str | Path) -> Non
         "shingle": dataclasses.asdict(cfg.shingle),
         "search": dataclasses.asdict(cfg.search),
         "lsh": dataclasses.asdict(cfg.lsh),
+        # Persisted so a `search --index idx --bucketed` run compares
+        # load_bucketed's identity against the config the tables were
+        # BUILT with, not the default (an `index --bucketed-pairs all`
+        # index would otherwise silently rebuild default 'triangles'
+        # tables, discarding the stronger guarantee the user built).
+        "bucketed": dataclasses.asdict(cfg.bucketed),
     }
     (path / "meta.json").write_text(json.dumps(meta), encoding="utf-8")
 
@@ -96,6 +103,8 @@ def load_index(path: str | Path) -> Tuple[ScriptIndex, PipelineConfig]:
         shingle=ShingleConfig(**meta["shingle"]),
         search=SearchConfig(**meta["search"]),
         lsh=LSHConfig(**meta["lsh"]),
+        # pre-bucketed-persistence v3 saves lack the key: default
+        bucketed=BucketedConfig(**meta.get("bucketed") or {}),
     )
     return index, cfg
 
@@ -175,6 +184,14 @@ def load_bucketed(path: str | Path, cfg):
     saved = dict(meta.get("bucketed") or {})
     saved.pop("hybrid", None)  # saves from before the field existed
     if saved != _bucketed_identity(cfg):
+        import sys
+
+        print(
+            f"warning: persisted bucketed tables at {path} were built "
+            f"with {saved}, requested {_bucketed_identity(cfg)}; "
+            f"rebuilding from the requested config",
+            file=sys.stderr,
+        )
         return None
     ckptr = ocp.PyTreeCheckpointer()
     arrays = ckptr.restore(path / "bucketed_arrays")

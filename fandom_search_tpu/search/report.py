@@ -82,9 +82,13 @@ def aggregate_matrix(
             "distinct_works": len(works.get(ln, ())),
         }
         if multi:
+            # Prefer the provided script_lines' label, but fall back to
+            # the label the match rows carry: `matrix --script one.txt`
+            # against a multi-script matches.csv must not blank the
+            # rows' attribution (advisor r2 low: report.py:85).
             rec["script"] = (
                 script_lines[ln].script
-                if script_lines is not None
+                if script_lines is not None and script_lines[ln].script
                 else scripts.get(ln, "")
             )
         if script_lines is not None:

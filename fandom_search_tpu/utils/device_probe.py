@@ -51,9 +51,20 @@ def probed_device_count(timeout_s: int | None = None) -> int:
     """
     import jax
 
-    backend_up = getattr(
-        getattr(jax._src, "xla_bridge", None), "_backends", None
-    )
+    # Defensive: the initialized-backend cache is private and may move
+    # across jax upgrades (advisor r2 low: device_probe.py:55).  Check
+    # every known location WITHOUT calling anything that could
+    # initialize a backend (jax.devices()/backends() would hang on a
+    # dead tunnel — the exact failure this probe exists to route
+    # around).  If no cache is found, fall through to the subprocess
+    # probe: slower, but hang-safe and correct.
+    backend_up = None
+    for mod_attr in ("xla_bridge", "backends"):
+        mod = getattr(getattr(jax, "_src", None), mod_attr, None)
+        cache = getattr(mod, "_backends", None)
+        if cache:
+            backend_up = cache
+            break
     if backend_up:
         return len(jax.devices())
     if forced_platforms().split(",")[0] == "cpu":

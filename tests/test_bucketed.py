@@ -1,9 +1,10 @@
 """Bucketed inverted-index prefilter (ops/bucketed.py).
 
-The load-bearing property is the pigeonhole guarantee: any candidate
-with >= n - P + 1 exactly-matching positions (n=6: >= 4) MUST be found
-(absent bucket-cap overflow), with scores identical to the exact
-kernel's.  Raw recall on noise queries is explicitly NOT promised —
+The load-bearing property is the pigeonhole guarantee of the shipped
+triangle-group covering: any candidate with >= ceil(n/3) + 1
+exactly-matching positions (n=6: >= 3) MUST be found (absent
+bucket-cap overflow), with scores identical to the exact kernel's —
+matching ops/bucketed.py's module doc and the >=3 assertions below.  Raw recall on noise queries is explicitly NOT promised —
 that is the documented thresholded-recall contract.
 """
 

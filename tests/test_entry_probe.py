@@ -121,4 +121,33 @@ def test_bench_quick_cpu_fallback_emits_json():
     out = __import__("json").loads(line)
     assert out["metric"] == "shingle_pairs_per_sec"
     assert out["value"] > 0
+    # degraded captures must be self-identifying IN THE PARSED LINE
+    # (VERDICT r2 #2) — not just in stderr/details
+    assert out["degraded"] is True
+    assert out["backend"] == "cpu"
     assert "falling back to the CPU backend" in r.stderr
+
+
+def test_bench_forced_degraded_flags_driver_line():
+    """BENCH_FORCE_DEGRADED simulates an outage without stubbing
+    subprocess: the driver line must carry backend=cpu, degraded=true."""
+    env = dict(
+        BENCH_FORCE_DEGRADED="1",
+        BENCH_NQ="256",
+        BENCH_NS="256",
+        BENCH_CPU_NQ="64",
+    )
+    full_env = {**os.environ, **env}
+    full_env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys\nfrom fandom_search_tpu import bench\n"
+         "sys.exit(bench.main(['--quick']))\n"],
+        capture_output=True, text=True, timeout=600, env=full_env,
+        cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = __import__("json").loads(r.stdout.strip().splitlines()[-1])
+    assert out["degraded"] is True
+    assert out["backend"] == "cpu"

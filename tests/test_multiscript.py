@@ -159,6 +159,28 @@ def test_matrix_carries_script_column(multi_world):
     assert all("script" not in rec for rec in single)
 
 
+def test_matrix_falls_back_to_row_scripts(multi_world):
+    """`matrix --script one.txt` on a multi-script matches.csv: lines
+    the provided script_lines can't label keep the attribution the
+    match rows carry instead of a blank (advisor r2 low: report.py)."""
+    from fandom_search_tpu.data.script_parser import ScriptLine
+    from fandom_search_tpu.search.report import aggregate_matrix
+
+    cfg, _, _, index, works, _, _ = multi_world
+    rows, _ = SearchEngine(index, cfg, use_pallas=False).search_works(works)
+    assert any(r.script for r in rows)
+    # script_lines with EMPTY script labels (what parsing one lone file
+    # produces), same global line_no space
+    unlabeled = [
+        ScriptLine(ln.line_no, ln.speaker, ln.text, "")
+        for ln in index.lines
+    ]
+    records = aggregate_matrix(rows, unlabeled)
+    by_line = {rec["line_no"]: rec for rec in records}
+    for r in rows:
+        assert by_line[r.line_no]["script"] == r.script
+
+
 def test_multiscript_with_bucketed_prefilter(multi_world):
     """The bucketed prefilter attaches to a multi-script (concatenated)
     index — concat_indexes carries shingle_windows — and reproduces the

@@ -42,6 +42,7 @@ def test_save_load_roundtrip(tmp_path, world):
 
     assert cfg2.shingle == CFG.shingle
     assert cfg2.search == CFG.search
+    assert cfg2.bucketed == CFG.bucketed
     np.testing.assert_array_equal(index2.embeddings, index.embeddings)
     np.testing.assert_array_equal(index2.shingle_line, index.shingle_line)
     np.testing.assert_array_equal(index2.line_start, index.line_start)
@@ -301,6 +302,30 @@ def test_save_load_bucketed_roundtrip(tmp_path, world):
     r1, _ = e_fresh.search_works(works)
     r2, _ = e_loaded.search_works(works)
     assert [r.to_csv_row() for r in r1] == [r.to_csv_row() for r in r2]
+
+
+def test_nondefault_bucketed_config_survives_index_roundtrip(tmp_path, world):
+    """An index built with a non-default BucketedConfig must hand that
+    config back from load_index, so a later `search --index --bucketed`
+    loads the persisted tables instead of silently rebuilding defaults
+    (round-2 advisor medium: persist.py bucketed identity)."""
+    import dataclasses as dc
+
+    from fandom_search_tpu.config import BucketedConfig
+    from fandom_search_tpu.ops.bucketed import BucketedIndex
+    from fandom_search_tpu.search.persist import load_bucketed, save_bucketed
+
+    index, _, _ = world
+    bcfg = BucketedConfig(pairs="all", cap=16)
+    cfg = dc.replace(CFG, bucketed=bcfg)
+    bidx = BucketedIndex.build(index.shingle_windows, bcfg, cfg.shingle)
+    save_index(index, cfg, tmp_path / "idx")
+    save_bucketed(tmp_path / "idx", bidx, bcfg)
+
+    _, cfg2 = load_index(tmp_path / "idx")
+    assert cfg2.bucketed == bcfg
+    # and the restored config loads the persisted tables (not None)
+    assert load_bucketed(tmp_path / "idx", cfg2.bucketed) is not None
 
 
 def test_cli_multiscript_index_then_search_and_matrix(tmp_path):
