@@ -473,11 +473,13 @@ def bucketed_hybrid_parts(
     jax.jit,
     static_argnames=(
         "k", "dim", "threshold", "max_out", "interpret", "max_abs_score",
+        "use_pallas",
     ),
 )
 def exact_on_risk_rows(
     q_emb, risk_rows, s_emb_padded, ns_valid, *,
     k, dim, threshold, max_out, interpret=False, max_abs_score=4608,
+    use_pallas=True,
 ):
     """Hybrid stage 2: exact fused top-k for ONLY the at-risk queries.
 
@@ -501,11 +503,21 @@ def exact_on_risk_rows(
     # zero the padding rows (their keep-mask is already False via
     # valid_row; zeroing just keeps garbage out of the matmul)
     qr = jnp.where(valid_row[:, None], qr, jnp.int8(0))
-    vals, idx = topk_dot_pallas(
-        qr, s_emb_padded, ns_valid, k, dim,
-        min_keep=threshold, interpret=interpret,
-        max_abs_score=max_abs_score,
-    )
+    if use_pallas:
+        vals, idx = topk_dot_pallas(
+            qr, s_emb_padded, ns_valid, k, dim,
+            min_keep=threshold, interpret=interpret,
+            max_abs_score=max_abs_score,
+        )
+    else:
+        # jnp fallback for engines built with use_pallas=False (same
+        # tie rule: lax.top_k keeps the lowest index); mask the padded
+        # columns like the kernel's ns_valid gate does
+        from fandom_search_tpu.ops.distance_topk import NEG_INF, topk_dot_jnp
+
+        vals, idx = topk_dot_jnp(qr, s_emb_padded, k, dim)
+        ok_col = idx < ns_valid
+        vals = jnp.where(ok_col, vals, NEG_INF)
     keep = jnp.logical_and(vals >= threshold, valid_row[:, None])
     pos = nonzero_compact(keep.ravel(), max_out)     # [max_out]
     psafe = jnp.maximum(pos, 0)
@@ -526,48 +538,41 @@ class HybridSubmission:
     Splitting submit from resolve lets the engine queue batch N+1's
     stage 1 BEFORE syncing batch N (advisor r2 low: the eager rc pull
     in drive_hybrid serialized the lookahead pipeline even for rc=0
-    batches)."""
+    batches).
+
+    Parametrized over two callables so the single-device path
+    (``drive_hybrid``) and the mesh-sharded path
+    (parallel/sharded_bucketed.py) share the ONE retry/merge contract:
+
+    * ``submit_fn(max_out, risk_budget)`` -> 6-tuple
+      (qpos, sidx, sc, count, risk_rows, risk_count) — the
+      bucketed_hybrid_parts contract;
+    * ``exact_fn(risk_rows, max_out)`` -> (qpos, sidx, sc, count) —
+      the exact_on_risk_rows contract.
+    """
 
     def __init__(
-        self, stream, q_emb, entries, offsets, s_emb_padded, ns_valid,
-        *, n, cap, num_buckets, salts, k, dim, threshold, pairs_mode,
-        max_out, risk_budget, interpret=False, max_abs_score=4608,
+        self, submit_fn, exact_fn, *, max_out, risk_budget,
         grow_max_out=False,
     ):
-        self._kw = dict(
-            n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k,
-            dim=dim, threshold=threshold, pairs_mode=pairs_mode,
-            interpret=interpret, max_abs_score=max_abs_score,
-        )
-        self._args = (stream, q_emb, entries, offsets, s_emb_padded,
-                      ns_valid)
+        self._submit_fn = submit_fn
+        self._exact_fn = exact_fn
         self.max_out = max_out
         self.risk_budget = risk_budget
         self.grow_max_out = grow_max_out
-        self._parts = self._submit()
-
-    def _submit(self):
-        stream, q_emb, entries, offsets, s_emb_padded, _ = self._args
-        kw = self._kw
-        return bucketed_hybrid_parts(
-            stream, q_emb, entries, offsets, s_emb_padded,
-            n=kw["n"], cap=kw["cap"], num_buckets=kw["num_buckets"],
-            salts=kw["salts"], k=kw["k"], dim=kw["dim"],
-            threshold=kw["threshold"], max_out=self.max_out,
-            risk_budget=self.risk_budget, pairs_mode=kw["pairs_mode"],
-        )
+        self._parts = submit_fn(self.max_out, self.risk_budget)
 
     def resolve(self):
         """Returns ((qpos, sidx, sc, count), risk_count, max_out,
         risk_budget) — pass the grown budgets back in to stay sticky."""
-        _, q_emb, _, _, s_emb_padded, ns_valid = self._args
-        kw = self._kw
         while True:
             parts = self._parts
             rc = int(np.asarray(parts[5]))
             if rc > self.risk_budget:
                 self.risk_budget = _next_pow2_int(rc, self.risk_budget * 2)
-                self._parts = self._submit()
+                self._parts = self._submit_fn(
+                    self.max_out, self.risk_budget
+                )
                 continue
             qp, si, sc, cnt = parts[:4]
             if rc:
@@ -577,11 +582,8 @@ class HybridSubmission:
                 # not make every later rc=1 batch pay a full
                 # budget-sized pass.
                 rb2 = _next_pow2_int(rc, 1024)
-                qe, se, sce, ce = exact_on_risk_rows(
-                    q_emb, parts[4][:rb2], s_emb_padded, ns_valid,
-                    k=kw["k"], dim=kw["dim"], threshold=kw["threshold"],
-                    max_out=self.max_out, interpret=kw["interpret"],
-                    max_abs_score=kw["max_abs_score"],
+                qe, se, sce, ce = self._exact_fn(
+                    parts[4][:rb2], self.max_out
                 )
                 qp, si, sc, cnt = merge_triples(
                     qp, si, sc, cnt, qe, se, sce, ce,
@@ -591,16 +593,49 @@ class HybridSubmission:
                 c = int(np.asarray(cnt))
                 if c > self.max_out:
                     self.max_out = _next_pow2_int(c, self.max_out * 2)
-                    self._parts = self._submit()
+                    self._parts = self._submit_fn(
+                        self.max_out, self.risk_budget
+                    )
                     continue
             return (qp, si, sc, cnt), rc, self.max_out, self.risk_budget
+
+
+def make_hybrid_submission(
+    stream, q_emb, entries, offsets, s_emb_padded, ns_valid, *,
+    n, cap, num_buckets, salts, k, dim, threshold, pairs_mode,
+    max_out, risk_budget, interpret=False, max_abs_score=4608,
+    grow_max_out=False, use_pallas=True,
+):
+    """Single-device HybridSubmission wired to bucketed_hybrid_parts +
+    exact_on_risk_rows."""
+
+    def submit(mo, rb):
+        return bucketed_hybrid_parts(
+            stream, q_emb, entries, offsets, s_emb_padded,
+            n=n, cap=cap, num_buckets=num_buckets, salts=salts,
+            k=k, dim=dim, threshold=threshold, max_out=mo,
+            risk_budget=rb, pairs_mode=pairs_mode,
+        )
+
+    def exact(risk_rows, mo):
+        return exact_on_risk_rows(
+            q_emb, risk_rows, s_emb_padded, ns_valid,
+            k=k, dim=dim, threshold=threshold, max_out=mo,
+            interpret=interpret, max_abs_score=max_abs_score,
+            use_pallas=use_pallas,
+        )
+
+    return HybridSubmission(
+        submit, exact, max_out=max_out, risk_budget=risk_budget,
+        grow_max_out=grow_max_out,
+    )
 
 
 def drive_hybrid(
     stream, q_emb, entries, offsets, s_emb_padded, ns_valid, *,
     n, cap, num_buckets, salts, k, dim, threshold, pairs_mode,
     max_out, risk_budget, interpret=False, max_abs_score=4608,
-    grow_max_out=False,
+    grow_max_out=False, use_pallas=True,
 ):
     """Host driver for the hybrid path: stage 1 (bucketed, at-risk rows
     dropped) with pow2 risk-budget retry, stage 2 (exact kernel on the
@@ -619,12 +654,13 @@ def drive_hybrid(
 
     Returns ((qpos, sidx, sc, count), risk_count, max_out, risk_budget)
     — pass the grown budgets back in to stay sticky."""
-    return HybridSubmission(
+    return make_hybrid_submission(
         stream, q_emb, entries, offsets, s_emb_padded, ns_valid,
         n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k,
         dim=dim, threshold=threshold, pairs_mode=pairs_mode,
         max_out=max_out, risk_budget=risk_budget, interpret=interpret,
         max_abs_score=max_abs_score, grow_max_out=grow_max_out,
+        use_pallas=use_pallas,
     ).resolve()
 
 
@@ -700,13 +736,14 @@ def _attach_pure_flat(engine, cfg, bidx, s_emb_padded) -> None:
     )
 
 
-def attach_bucketed_prefilter(
-    engine, cfg: BucketedConfig, bidx: BucketedIndex | None = None
-) -> None:
-    """Swap a SearchEngine's candidate stage for the bucketed pipeline
-    (mirrors ops/lsh.attach_lsh_prefilter)."""
-    from fandom_search_tpu.data.shingler import embed_shingles
-
+def validate_and_place_bucketed(
+    engine, cfg: BucketedConfig, bidx: BucketedIndex | None
+) -> BucketedIndex:
+    """Shared attach-time validation + device placement (used by the
+    single-device attach below and the mesh-sharded attach in
+    parallel/sharded_bucketed.py): k vs probe width, table/index row
+    agreement, the pure-mode skew refusal, and the hybrid skew
+    warning.  Returns the device-resident BucketedIndex."""
     p_width = len(_pairs_for(engine.cfg.shingle.n, cfg.pairs)) * cfg.cap
     if engine.cfg.search.k > p_width:
         raise ValueError(
@@ -756,6 +793,17 @@ def attach_bucketed_prefilter(
             "(hybrid fallback) — expect near-exact-kernel wall-clock",
             100 * bidx.overflow_frac, cfg.cap,
         )
+    return bidx
+
+
+def attach_bucketed_prefilter(
+    engine, cfg: BucketedConfig, bidx: BucketedIndex | None = None
+) -> None:
+    """Swap a SearchEngine's candidate stage for the bucketed pipeline
+    (mirrors ops/lsh.attach_lsh_prefilter)."""
+    from fandom_search_tpu.data.shingler import embed_shingles
+
+    bidx = validate_and_place_bucketed(engine, cfg, bidx)
     engine.bucketed = bidx
     scfg = engine.cfg.shingle
     xcfg = engine.cfg.search
@@ -802,7 +850,7 @@ def attach_bucketed_prefilter(
         def __init__(self, stream, max_out):
             q_emb = embed_jit(stream, engine._mults)
             self._stream_len = int(stream.shape[0])
-            self._sub = HybridSubmission(
+            self._sub = make_hybrid_submission(
                 stream, q_emb, bidx.entries, bidx.offsets,
                 s_emb_padded, engine._ns_valid,
                 n=scfg.n, cap=cfg.cap, num_buckets=bidx.num_buckets,
@@ -812,6 +860,7 @@ def attach_bucketed_prefilter(
                 risk_budget=engine._bucketed_risk_budget,
                 interpret=interpret, max_abs_score=smax,
                 grow_max_out=False,  # the engine owns the max_out retry
+                use_pallas=bool(getattr(engine, "use_pallas", True)),
             )
 
         def resolve(self):
