@@ -57,7 +57,8 @@ class SearchService:
         self._t0 = time.time()
         self.counters = {
             "requests": 0, "works": 0, "query_shingles": 0,
-            "matches": 0, "search_seconds": 0.0, "errors": 0,
+            "matches": 0, "search_seconds": 0.0, "queue_seconds": 0.0,
+            "errors": 0,
         }
 
     def bump(self, **deltas) -> None:
@@ -81,22 +82,31 @@ class SearchService:
         return time.perf_counter() - t0
 
     def search(self, works: Dict[str, str]) -> Tuple[list, dict]:
-        t0 = time.perf_counter()
+        # Queue wait measured separately from engine time: requests
+        # serialize behind one engine lock (one chip — see module doc),
+        # so under concurrent clients latency is queue + search; the
+        # response meta exposes both so a client can tell a slow engine
+        # from a deep queue (SURVEY §6 observability).
+        t_q = time.perf_counter()
         with self._lock:
+            queued = time.perf_counter() - t_q
+            t0 = time.perf_counter()
             rows, stats = self.engine.search_works(works)
-        dt = time.perf_counter() - t0
+            dt = time.perf_counter() - t0
         self.bump(
             requests=1,
             works=len(works),
             query_shingles=stats.num_query_shingles,
             matches=len(rows),
             search_seconds=dt,
+            queue_seconds=queued,
         )
         meta = {
             "works": len(works),
             "num_matches": len(rows),
             "query_shingles": stats.num_query_shingles,
             "seconds": round(dt, 4),
+            "queue_seconds": round(queued, 4),
         }
         if stats.extra:
             # per-run engine observability (stage timings; the hybrid
@@ -123,6 +133,7 @@ class SearchService:
             out = dict(self.counters)
         out["uptime_seconds"] = round(time.time() - self._t0, 1)
         out["search_seconds"] = round(out["search_seconds"], 3)
+        out["queue_seconds"] = round(out["queue_seconds"], 3)
         return out
 
 

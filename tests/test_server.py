@@ -161,3 +161,42 @@ def test_concurrent_requests_consistent_counters(served):
     assert stats["requests"] == before["requests"] + n
     assert stats["works"] == before["works"] + n
     assert stats["errors"] == before["errors"]
+
+
+def test_queue_seconds_reported_and_grows_under_contention(served):
+    """Requests serialize behind the engine lock; the response meta
+    must expose the lock wait (queue_seconds) so clients can tell a
+    deep queue from a slow engine (round-2 verdict Weak #7)."""
+    base, service, _, works, _ = served
+    # uncontended: the field exists and is ~zero
+    wid = sorted(works)[0]
+    code, solo = _post(base + "/search", {"works": {wid: works[wid]}})
+    assert code == 200
+    assert "queue_seconds" in solo and solo["queue_seconds"] >= 0.0
+
+    # contended: fire clients in parallel; all but the first must
+    # queue, so the max observed queue_seconds exceeds the solo one
+    # and the queue sum is a significant fraction of the search sum
+    n_threads = 5
+    metas = []
+    lock = threading.Lock()
+
+    def client():
+        code, body = _post(base + "/search", {"works": {wid: works[wid]}})
+        if code == 200:
+            with lock:
+                metas.append(body)
+
+    threads = [threading.Thread(target=client) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert len(metas) == n_threads
+    queues = sorted(m["queue_seconds"] for m in metas)
+    searches = [m["seconds"] for m in metas]
+    # the deepest-queued request waited at least ~the earlier searches
+    assert queues[-1] > max(min(searches) * 0.5, solo["queue_seconds"])
+    # cumulative counter moved too
+    stats = _get(base + "/stats")[1]
+    assert stats["queue_seconds"] >= queues[-1] * 0.9
