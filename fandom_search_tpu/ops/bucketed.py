@@ -42,6 +42,21 @@ guarantee for candidates whose only intact pair is that bucket.
 ``build()`` reports the overflow fraction so the caller can see the
 exposure; the bench measures thresholded recall on a Zipf corpus too.
 
+Skew economics (measured, DESIGN.md §4.4): the hybrid's reroute
+fraction is NOT a tunable implementation detail — at 0.99 thresholded
+recall it is pinned by the corpus's hot-pair mass, because the exact
+kernel's above-threshold top-k contains 2-position-match entries
+(6.7% of entries on zipf-1.3%50k) that ride exactly the over-cap
+stopword pairs.  Rerouting only on hot word-TRIPLES (the most
+selective key family with a >=3 guarantee) was measured to collapse
+safe-query recall to 0.48-0.70 on that corpus; no identity-keyed
+scheme can do better without covering the hot pairs themselves.  On
+English-like skew (top word ~2.6% of tokens, zipf-1.01 over 2^19
+vocab — the realistic fanfic regime) the same machinery reroutes
+~7% of queries under ``pairs="all"`` with a deterministic >=2-match
+guarantee: that is the configuration where sub-linearity survives
+real text, and the bench's ``bucketed_english_*`` config attests it.
+
 Reference parity note: this replaces the reference's BallTree *query*
 (SURVEY.md §4.2 HOT LOOP 1) in the large-index regime, the same role
 ops/distance_topk.py fills at moderate index sizes.
@@ -580,8 +595,13 @@ class HybridSubmission:
                 # sticky risk_budget only grows, and the exact kernel's
                 # cost is O(rows * NS) — one stopword-dense batch must
                 # not make every later rc=1 batch pay a full
-                # budget-sized pass.
-                rb2 = _next_pow2_int(rc, 1024)
+                # budget-sized pass.  Quarter-pow2 (not pow2) sizing:
+                # on heavily skewed corpora rc approaches M and pow2
+                # rounding can DOUBLE stage 2 (rc = 0.87*M pads to M,
+                # erasing the hybrid's entire margin over the exact
+                # kernel); quarter-pow2 caps the overshoot at 25% for
+                # <= 4 compiled shapes per octave (DESIGN.md §4).
+                rb2 = _next_qpow2(rc, 1024)
                 qe, se, sce, ce = self._exact_fn(
                     parts[4][:rb2], self.max_out
                 )
@@ -886,3 +906,21 @@ def _next_pow2_int(n: int, floor: int) -> int:
     from fandom_search_tpu.search.engine import _next_pow2
 
     return _next_pow2(n, max(1, floor))
+
+
+def _next_qpow2(n: int, floor: int) -> int:
+    """Smallest quarter-pow2 (2^k * {1, 1.25, 1.5, 1.75}) >= max(n,
+    floor).  Used to size the stage-2 at-risk gather: overshoot <= 25%
+    (vs 100% for pow2) at <= 4 distinct compiled shapes per octave."""
+    n = max(int(n), int(floor), 1)
+    p = 1
+    while p < n:
+        p *= 2
+    if p == n or p < 8:  # tiny sizes: pow2 only (p//4 would be 0/odd)
+        return p
+    base = p // 2
+    for num in (5, 6, 7):  # 1.25, 1.5, 1.75 * base
+        q = base * num // 4
+        if q >= n:
+            return q
+    return p

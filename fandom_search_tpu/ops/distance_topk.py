@@ -105,6 +105,7 @@ def _topk_kernel(
     min_keep: float,
     q_transposed: bool,
     merge: str,
+    gate_cols: int,
 ):
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -158,9 +159,13 @@ def _topk_kernel(
     # script rows are zero, so their dot of 0 can fire the gate
     # spuriously but is masked before it could ever be merged.
     row_max = jnp.max(scores_i, axis=1, keepdims=True)
-    kth_score = jax.lax.shift_right_arithmetic(
-        run_ref[:, k - 1 : k], _COL_BITS
-    )
+
+    def _kth_score():
+        return jax.lax.shift_right_arithmetic(
+            run_ref[:, k - 1 : k], _COL_BITS
+        )
+
+    kth_score = _kth_score()
     can_improve = jnp.any(
         jnp.logical_and(row_max > kth_score, row_max >= jnp.int32(min_keep))
     )
@@ -236,7 +241,7 @@ def _topk_kernel(
 
                 flag_ref[0] = go.astype(jnp.int32)
 
-    def _insert_merge():
+    def _insert_merge_block(base: int, width: int):
         # First-entrant fast path + loop fallback.  Measured on the
         # bench corpus (2^17x8192, 1% planted hits, tq=256/ts=4096):
         # 81% of tiles fire the gate and EVERY firing tile has exactly
@@ -244,29 +249,47 @@ def _topk_kernel(
         # a hit from bleeding into neighboring script columns — so the
         # k-iteration kill loop is overhead on the common path.
         #
+        # ``gate_cols`` sub-tile gating (round-2 verdict: the merge
+        # gate cost ~20% of the kernel's own gate-off floor): the tile
+        # is split into gate_cols column blocks, each with its OWN
+        # gate + fast path over [TQ, TS/gate_cols], so one hot row
+        # doesn't buy merge traversals over the whole tile.  Blocks
+        # run left-to-right; the packed compare against the live k-th
+        # (which only rises) keeps any insertion order exact, and the
+        # global column is encoded in inv_col, so tie-breaks are
+        # order-independent.
+        #
         # The extraction works on RAW scores (no per-element pack; two
         # earlier shapes that packed per-element for fused reductions
-        # blew the 16MB scoped-VMEM limit at 256x4096): the gate's
-        # row_max [TQ,1] IS the first entrant's score, so one
+        # blew the 16MB scoped-VMEM limit at 256x4096): the block
+        # row-max [TQ,1] IS the first entrant's score, so one
         # iota-compare traversal finds its column (highest inv_col =
         # lowest col wins score ties — the packed tie-break), one
         # column-excluded max traversal detects any second entrant,
-        # and only then does the tile stage the packed scratch for the
-        # kill loop.  Nothing [TQ, TS]-sized is written on the common
+        # and only then does the block stage the packed scratch for
+        # the kill loop.  Nothing block-sized is written on the common
         # path.  Exactness leans on min_keep >= 1 (enforced by the
         # static dispatch below): padded script rows embed to zero, so
         # a score >= min_keep >= 1 is always from a valid column and a
-        # padded column can never equal row_max when row_max >= 1;
-        # rows whose row_max < min_keep are outside the min_keep
+        # padded column can never equal the block max when it is >= 1;
+        # rows whose max < min_keep are outside the min_keep
         # contract.  Eligibility vs the PRE-merge k-th is exact (it
         # only rises, so a non-entrant now never enters later) and the
         # kill loop re-checks entrants against the updated buffer.
+        scores_b = (
+            scores_i if width == tile_s
+            else scores_i[:, base : base + width]
+        )
+        rmax_b = (
+            row_max if width == tile_s
+            else jnp.max(scores_b, axis=1, keepdims=True)
+        )
         kth = run_ref[:, k - 1 : k]
 
         def inv_iota():
             return (
-                jnp.int32(_COL_MASK - tile_base)
-                - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
+                jnp.int32(_COL_MASK - tile_base - base)
+                - jax.lax.broadcasted_iota(jnp.int32, (tq, width), 1)
             )
 
         def insert_one(m):
@@ -279,12 +302,12 @@ def _topk_kernel(
             run_ref[:] = jnp.maximum(run, jnp.minimum(shifted, m))
 
         inv1 = jnp.max(
-            jnp.where(scores_i == row_max, inv_iota(), jnp.int32(-1)),
+            jnp.where(scores_b == rmax_b, inv_iota(), jnp.int32(-1)),
             axis=1, keepdims=True,
         )                                                   # [TQ, 1]
-        m1p = row_max * jnp.int32(1 << _COL_BITS) + inv1
+        m1p = rmax_b * jnp.int32(1 << _COL_BITS) + inv1
         elig1 = jnp.logical_and(
-            jnp.logical_and(row_max >= jnp.int32(min_keep), inv1 >= 0),
+            jnp.logical_and(rmax_b >= jnp.int32(min_keep), inv1 >= 0),
             m1p > kth,
         )
         insert_one(jnp.where(elig1, m1p, jnp.int32(_PACK_SENTINEL)))
@@ -293,7 +316,7 @@ def _topk_kernel(
         # (a tied second column keeps the same score and is caught)
         s2 = jnp.max(
             jnp.where(
-                inv_iota() != inv1, scores_i, jnp.int32(_PACK_SENTINEL)
+                inv_iota() != inv1, scores_b, jnp.int32(_PACK_SENTINEL)
             ),
             axis=1, keepdims=True,
         )                                                   # [TQ, 1]
@@ -309,15 +332,36 @@ def _topk_kernel(
         @pl.when(jnp.any(need2))
         def _rest():
             # >= 2 candidate entrants in some row: stage the packed
-            # tile minus the taken column and run the exact kill loop
+            # block minus the taken column and run the exact kill loop
             # (m1 was either inserted or can never enter later — the
             # k-th only rises — so excluding its column stays exact)
-            pm = _pack_tile()
+            inv = inv_iota()
+            pm = scores_b * jnp.int32(1 << _COL_BITS) + inv
+            col_ok = inv > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            pm = jnp.where(col_ok, pm, jnp.int32(_PACK_SENTINEL))
             p_ref[:] = jnp.where(
-                inv_iota() != inv1, pm, jnp.int32(_PACK_SENTINEL)
+                inv != inv1, pm, jnp.int32(_PACK_SENTINEL)
             )
             flag_ref[0] = jnp.int32(1)
             _entrant_loop(k - 1)
+
+    def _gated_insert_blocks():
+        # per-block gate: read the k-th fresh (earlier blocks may have
+        # raised it), then run the block fast path only when some row
+        # can still improve from THIS block
+        sub = tile_s // gate_cols
+        for b in range(gate_cols):
+            scores_b = scores_i[:, b * sub : (b + 1) * sub]
+            rmax_b = jnp.max(scores_b, axis=1, keepdims=True)
+            can_b = jnp.any(
+                jnp.logical_and(
+                    rmax_b > _kth_score(),
+                    rmax_b >= jnp.int32(min_keep),
+                )
+            )
+            pl.when(can_b)(
+                functools.partial(_insert_merge_block, b * sub, sub)
+            )
 
     def _insertloop_merge():
         # Round-2 baseline insert merge (kept as the A/B control):
@@ -332,7 +376,12 @@ def _topk_kernel(
         # staged kill loop, which is the better shape there anyway
         # (exact mode makes nearly every entry an entrant)
         if min_keep >= 1:
-            pl.when(can_improve)(_insert_merge)
+            if gate_cols == 1:
+                pl.when(can_improve)(
+                    functools.partial(_insert_merge_block, 0, tile_s)
+                )
+            else:
+                _gated_insert_blocks()
         else:
             pl.when(can_improve)(_insertloop_merge)
     elif merge == "insertloop":
@@ -355,7 +404,7 @@ def _topk_kernel(
     jax.jit,
     static_argnames=(
         "k", "dim", "tile_q", "tile_s", "interpret", "compute", "min_keep",
-        "q_transposed", "max_abs_score", "merge",
+        "q_transposed", "max_abs_score", "merge", "gate_cols",
     ),
 )
 def topk_dot_pallas(
@@ -373,6 +422,7 @@ def topk_dot_pallas(
     q_transposed: bool = False,
     max_abs_score: int = 4608,
     merge: str = "insert",
+    gate_cols: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scores + top-k.  ``min_keep`` (in dot/dim units) declares
     that the caller discards scores below it: rows whose results fall
@@ -384,12 +434,21 @@ def topk_dot_pallas(
     caller's bound on the raw integer dot (n^2 * dim for the shingle
     embedding); beyond the int32 packing budget the wrapper runs an
     exact unpacked top-k instead (correct, slower — measured wrong
-    answers at dim>=256 without this)."""
+    answers at dim>=256 without this).  ``gate_cols`` splits each tile
+    into that many column blocks with independent merge gates
+    (insert fast path only; see _insert_merge_block) — sub-tile
+    gating so one hot row doesn't un-skip a whole tile's merge."""
     if merge not in ("insert", "insertloop", "rebuild"):
         # an unknown value would emit a kernel with NO merge branch,
         # returning the sentinel-initialized buffer as silent garbage
         raise ValueError(
             f"merge must be 'insert', 'insertloop' or 'rebuild', got {merge!r}"
+        )
+    if gate_cols < 1 or tile_s % (gate_cols * 128) != 0:
+        # each block must stay lane-aligned (128) for clean VMEM slices
+        raise ValueError(
+            f"gate_cols ({gate_cols}) must divide tile_s ({tile_s}) "
+            f"into 128-multiple column blocks"
         )
     if q_transposed:
         d, nq = q_emb.shape
@@ -430,7 +489,7 @@ def topk_dot_pallas(
                 tile_q=tile_q, tile_s=min(tile_s, s_c.shape[0]),
                 interpret=interpret, compute=compute, min_keep=min_keep,
                 q_transposed=q_transposed, max_abs_score=max_abs_score,
-                merge=merge,
+                merge=merge, gate_cols=gate_cols,
             )
             vs.append(v)
             ids.append(i + c0)
@@ -451,6 +510,7 @@ def topk_dot_pallas(
     kernel = functools.partial(
         _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim, compute=compute,
         min_keep=min_keep_i, q_transposed=q_transposed, merge=merge,
+        gate_cols=gate_cols,
     )
     ns_valid_arr = jnp.asarray(ns_valid, dtype=jnp.int32).reshape((1,))
 
@@ -475,9 +535,16 @@ def topk_dot_pallas(
             scratch_shapes=[
                 pltpu.VMEM((tile_q, k), jnp.int32),
                 # the rebuild merge keeps its packed tile in registers;
-                # only the kill-loop merges need the [TQ, TS] scratch
+                # only the kill-loop merges need the packed scratch —
+                # one column BLOCK wide on the sub-gated fast path
+                # (gate_cols > 1 shrinks it, freeing VMEM for tiles)
                 pltpu.VMEM(
-                    (tile_q, tile_s)
+                    (
+                        tile_q,
+                        tile_s // gate_cols
+                        if min_keep_i >= 1 and merge == "insert"
+                        else tile_s,
+                    )
                     if merge in ("insert", "insertloop")
                     else (8, 128),
                     jnp.int32,

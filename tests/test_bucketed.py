@@ -433,6 +433,100 @@ def test_hybrid_risk_budget_retry(rng):
     assert {key(r) for r in got} == {key(r) for r in want}
 
 
+def test_next_qpow2_sizing():
+    """Quarter-pow2 stage-2 sizing: overshoot <= 25% (pow2 rounding of
+    a near-full at-risk set doubled stage 2 on skewed corpora —
+    DESIGN.md §4.4), floor respected, pow2 values returned exactly."""
+    from fandom_search_tpu.ops.bucketed import _next_qpow2
+
+    assert _next_qpow2(0, 1024) == 1024
+    assert _next_qpow2(1024, 1024) == 1024
+    assert _next_qpow2(1025, 1024) == 1280   # 1.25 * 1024
+    assert _next_qpow2(1281, 1024) == 1536
+    assert _next_qpow2(1537, 1024) == 1792
+    assert _next_qpow2(1793, 1024) == 2048
+    for n in (3, 57000, 123457):
+        got = _next_qpow2(n, 1024)
+        assert got >= max(n, 1024)
+        assert got <= 1.25 * max(n, 1024) + 1
+    # the #5c regression shape: 56.7k at-risk of 65536 queries must
+    # NOT pad back to the full query count
+    assert _next_qpow2(56700, 1024) == 57344  # 1.75 * 2^15 < 2^16
+
+
+def test_hybrid_english_skew_low_reroute(rng):
+    """The realistic-text regime (DESIGN.md §4.4, bench #5d): English-
+    like skew (zipf-1.05 over a 2^11 vocab at this scale) under
+    pairs="all" must (a) reroute only a small query fraction — the
+    sub-linear path survives real text, unlike the #5c stress corpus —
+    and (b) reproduce EVERY >=2-position-match entry of the exact
+    kernel's above-threshold top-k (the all-pairs pigeonhole
+    guarantee: a 2-matcher's pair is probed; cold -> enumerated, hot
+    -> this query rerouted through the exact kernel)."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import drive_hybrid
+
+    n = SCFG.n
+    ns, nq, vocab = 8192, 2048, 1 << 11
+
+    def zw(count):
+        return (
+            (rng.zipf(1.05, size=count) % vocab).astype(np.uint32)
+            * np.uint32(0x9E3779B9)
+        )
+
+    s_stream = zw(ns + n - 1)
+    q_stream = zw(nq + n - 1)
+    for qi in range(0, nq, 10):
+        si = int(rng.integers(0, ns))
+        q_stream[qi : qi + n] = s_stream[si : si + n]
+    bcfg = dataclasses.replace(BCFG, pairs="all")
+    windows = shingle_hashes(s_stream, SCFG)
+    bidx = BucketedIndex.build(windows, bcfg, SCFG)
+    assert bidx.overflow_frac > 0  # skewed enough to have hot pairs
+    q_emb = jnp.asarray(embed_shingles_np(q_stream, SCFG))
+    s_pad, nsv = pad_rows(
+        jnp.asarray(embed_shingles_np(s_stream, SCFG)), 2048
+    )
+    thr = CFG.search.candidate_threshold
+    (qp, si_, sc, cnt), rc, _, _ = drive_hybrid(
+        jnp.asarray(q_stream), q_emb, bidx.entries, bidx.offsets,
+        s_pad, nsv, n=n, cap=bcfg.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts, k=K, dim=DIM, threshold=thr,
+        pairs_mode="all", max_out=1 << 15, risk_budget=1024,
+        interpret=True, grow_max_out=True, use_pallas=False,
+    )
+    assert 0 < rc < 0.3 * nq  # rerouted, but a small fraction
+    ev, ei = topk_dot_jnp(q_emb, s_pad, K, DIM)
+    evn, ein = np.asarray(ev), np.asarray(ei)
+    q_windows = shingle_hashes(q_stream, SCFG)
+    ncnt = int(cnt)
+    # guaranteed entries are matched by exact (query, score, sid)
+    # triple — rerank scores are semantically identical to the exact
+    # kernel's, and value-only multiset matching misattributes score
+    # ties between a guaranteed and a noise entry
+    got = set()
+    for q, s, v in zip(
+        np.asarray(qp)[:ncnt], np.asarray(si_)[:ncnt],
+        np.asarray(sc)[:ncnt],
+    ):
+        if q >= 0:
+            got.add((int(q), round(float(v) * DIM), int(s)))
+    missed_guaranteed = 0
+    for i in range(nq):
+        keepm = np.logical_and(evn[i] >= thr, ein[i] < ns)
+        if not keepm.any():
+            continue
+        for v, s in zip(np.round(evn[i][keepm] * DIM), ein[i][keepm]):
+            if (
+                (i, int(v), int(s)) not in got
+                and int((q_windows[i] == windows[s]).sum()) >= 2
+            ):
+                missed_guaranteed += 1
+    assert missed_guaranteed == 0
+
+
 def test_native_table_build_parity(rng):
     """The C++ counting-sort table build (fastingest.cpp
     fs_bucketed_table) must be bit-identical to the NumPy

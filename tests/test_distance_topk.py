@@ -246,3 +246,63 @@ def test_insert_merge_equals_rebuild_merge(rng):
         np.testing.assert_array_equal(kb, kc)
         np.testing.assert_array_equal(vb[kb], vc[kc])
         np.testing.assert_array_equal(ib[kb], ic[kc])
+
+
+def test_gate_cols_subtile_gating_parity(rng):
+    """Sub-tile column gating (gate_cols > 1) must reproduce the
+    single-gate insert merge on the above-threshold prefix — same
+    adversarial world as the merge-parity test (dense plants, tied
+    script regions), plus a padded-edge corpus so each block's
+    padded-column reasoning is exercised."""
+    from fandom_search_tpu.config import ShingleConfig
+    from fandom_search_tpu.data.shingler import embed_shingles_np
+    from fandom_search_tpu.ops.distance_topk import (
+        pad_rows, topk_dot_pallas,
+    )
+    import jax.numpy as jnp
+
+    scfg = ShingleConfig()
+    nq, ns = 512, 3100  # ragged: padding lands inside the last tile
+    q_stream = rng.integers(0, 2**32, size=nq + scfg.n - 1, dtype=np.uint32)
+    s_stream = rng.integers(0, 2**32, size=ns + scfg.n - 1, dtype=np.uint32)
+    for qi in range(0, nq, 3):
+        si = int(rng.integers(0, ns - 20))
+        q_stream[qi : qi + scfg.n] = s_stream[si : si + scfg.n]
+    s_stream[100:130] = s_stream[100]  # ties
+    q_emb = embed_shingles_np(q_stream, scfg)
+    s_emb = embed_shingles_np(s_stream, scfg)
+    sp, nsv = pad_rows(jnp.asarray(s_emb), 1024)
+    mk = 3.5
+    v1, i1 = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=1024,
+        interpret=True, min_keep=mk, merge="insert",
+    )
+    v1, i1 = np.asarray(v1), np.asarray(i1)
+    k1 = v1 >= mk
+    assert k1.sum() > 100
+    for gc in (2, 4, 8):
+        vg, ig = topk_dot_pallas(
+            jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=1024,
+            interpret=True, min_keep=mk, merge="insert", gate_cols=gc,
+        )
+        vg, ig = np.asarray(vg), np.asarray(ig)
+        kg = vg >= mk
+        np.testing.assert_array_equal(kg, k1)
+        np.testing.assert_array_equal(vg[kg], v1[k1])
+        np.testing.assert_array_equal(ig[kg], i1[k1])
+
+
+def test_gate_cols_validation():
+    """gate_cols must divide tile_s into 128-multiple blocks."""
+    import jax.numpy as jnp
+    import pytest
+
+    from fandom_search_tpu.ops.distance_topk import topk_dot_pallas
+
+    q = jnp.zeros((128, DIM), jnp.int8)
+    s = jnp.zeros((2048, DIM), jnp.int8)
+    with pytest.raises(ValueError, match="gate_cols"):
+        topk_dot_pallas(
+            q, s, 2048, K, DIM, tile_s=2048, interpret=True,
+            min_keep=3.5, gate_cols=3,
+        )
