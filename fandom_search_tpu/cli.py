@@ -114,6 +114,25 @@ def _maybe_multihost(args) -> None:
               file=sys.stderr)
 
 
+def _ensure_backend(args) -> None:
+    """Outage-proof device init for the user-facing commands: the axon
+    tunnel's failure mode is an indefinite HANG inside backend init
+    (not an error — utils/device_probe.py), so anything about to touch
+    jax probes init in a timed subprocess and falls back to the CPU
+    backend instead of hanging the CLI forever.  bench.py and
+    __graft_entry__ already did this; `search`/`index`/`serve` hung
+    (observed: a down-tunnel `search` run never returned).  --cpu and
+    --multihost runs skip the probe (the user pinned the backend)."""
+    if getattr(args, "cpu", False) or getattr(args, "multihost", False):
+        return
+    from fandom_search_tpu.utils.device_probe import (
+        fallback_to_cpu, probed_device_count,
+    )
+
+    if probed_device_count() == 0:
+        fallback_to_cpu("device init hung or failed")
+
+
 def _mesh_from_args(args) -> "MeshConfig | None":
     from fandom_search_tpu.config import MeshConfig
 
@@ -304,6 +323,7 @@ def cmd_index(args) -> int:
 
         jax.config.update("jax_platforms", "cpu")
     _maybe_multihost(args)
+    _ensure_backend(args)
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -416,6 +436,7 @@ def cmd_search(args) -> int:
 
         jax.config.update("jax_platforms", "cpu")
     _maybe_multihost(args)
+    _ensure_backend(args)
     # Amortize per-bucket jit compiles across CLI invocations (the
     # remote-compile tunnel makes cold compiles expensive).
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
@@ -528,6 +549,7 @@ def cmd_serve(args) -> int:
 
         jax.config.update("jax_platforms", "cpu")
     _maybe_multihost(args)
+    _ensure_backend(args)
     from fandom_search_tpu.utils.jit_cache import enable_persistent_cache
 
     enable_persistent_cache()

@@ -422,7 +422,7 @@ def topk_dot_pallas(
     q_transposed: bool = False,
     max_abs_score: int = 4608,
     merge: str = "insert",
-    gate_cols: int = 1,
+    gate_cols: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scores + top-k.  ``min_keep`` (in dot/dim units) declares
     that the caller discards scores below it: rows whose results fall
@@ -444,6 +444,11 @@ def topk_dot_pallas(
         raise ValueError(
             f"merge must be 'insert', 'insertloop' or 'rebuild', got {merge!r}"
         )
+    if gate_cols is None:
+        # repo-wide default, env-overridable so the recapture scripts
+        # can A/B sub-tile gating through the whole engine; flipped in
+        # code (not env) once the on-device A/B settles
+        gate_cols = _default_gate_cols()
     if gate_cols < 1 or tile_s % (gate_cols * 128) != 0:
         # each block must stay lane-aligned (128) for clean VMEM slices
         raise ValueError(
@@ -564,6 +569,15 @@ def topk_dot_pallas(
         interpret=interpret,
     )(ns_valid_arr, q_emb, s_emb)
     return vals, idx
+
+
+@functools.lru_cache(maxsize=1)
+def _default_gate_cols() -> int:
+    """Default sub-tile gate split (FS_GATE_COLS env override for
+    on-device A/B through the engine; see scripts/gate_ab.py)."""
+    import os
+
+    return max(1, int(os.environ.get("FS_GATE_COLS", "1")))
 
 
 def engine_tiles(nq: int, ns: int) -> Tuple[int, int]:

@@ -47,9 +47,21 @@ index plane), and finally "Target does not support this comparison"
 for int16 vector compares — no workaround, because the validity
 masks ARE comparisons.  The path is kept behind ``state="i16"`` for
 future toolchains; f32 remains the default.
-All-padding tiles skip the wavefront via a pl.when gate.  The op
-count per step is already near-minimal (3 lane-rolls + ~10
-elementwise).
+All-padding tiles skip the wavefront via a pl.when gate.
+
+Round-3 restructurings (variant="fast", default; variant="r2" keeps
+the old shape as the in-process A/B control):
+  * double-buffered DP state — hprev/hpp swap ROLES per step instead
+    of copying (deletes 2 full-tile VMEM stores from every step);
+  * dynamic trip count — the wavefront runs to the tile's actual
+    max(len_a+len_b)-1 diagonal, not the static la+lb-1: engine
+    verify batches are dominated by short script lines (~5-20 tokens
+    in a 64-token budget), so most tiles run far fewer serialized
+    steps.  Sorting the verify batch by length would compound this
+    (tiles become length-homogeneous); not done yet — the batch
+    order currently carries candidate provenance.
+The op count per step after these is near-minimal (3 lane-rolls +
+~10 elementwise, 1 store).
 """
 
 from __future__ import annotations
@@ -162,6 +174,7 @@ def _sw_kernel(
     gap: float,
     dtype,
     unroll: int,
+    variant: str,
 ):
     tb = b_ref.shape[0]
     w = la + lb
@@ -232,8 +245,17 @@ def _sw_kernel(
         hpp_ref[:] = jnp.zeros((tb, lb), dtype)
         best_ref[:] = jnp.zeros((tb, lb), dtype)
 
-        def one_diag(d):
-            h_prev = hprev_ref[:]
+        def one_diag(d, prev_ref, pp_ref):
+            # Double-buffered DP state (round-3): ``prev_ref`` holds
+            # H_{d-1}, ``pp_ref`` holds H_{d-2} and RECEIVES H_d — the
+            # caller alternates the two refs' roles per step, which
+            # deletes the two full-tile VMEM copies per step
+            # (hpp <- hprev; hprev <- h) the round-1/2 kernel paid.
+            # variant="r2" keeps the copy behavior as the in-process
+            # A/B control (same discipline as merge="insertloop" in
+            # ops/distance_topk.py — tunnel phases make cross-process
+            # comparisons meaningless, DESIGN.md §7).
+            h_prev = prev_ref[:]
             state = state_ref[:]
             a_diag = state[:, :lb]
 
@@ -255,35 +277,60 @@ def _sw_kernel(
                     jnp.int32(int(mismatch)),
                 ).astype(dtype)
             h = jnp.maximum(
-                shift_right_f(hpp_ref[:]) + sub,
+                shift_right_f(pp_ref[:]) + sub,
                 jnp.maximum(shift_right_f(h_prev), h_prev)
                 + jnp.asarray(gap, dtype),
             )
             h = jnp.maximum(h, zero)
             h = jnp.where(valid, h, zero)
             best_ref[:] = jnp.maximum(best_ref[:], h)
-            hpp_ref[:] = h_prev
-            hprev_ref[:] = h
+            if variant == "r2":
+                pp_ref[:] = h_prev
+                prev_ref[:] = h
+            else:
+                pp_ref[:] = h
             state_ref[:] = pltpu.roll(state, shift=1, axis=1)
 
         # ``unroll`` diagonals per fori_loop iteration: the wavefront
         # is serialized by data dependency and the per-iteration loop
         # machinery dominates the arithmetic, so unrolling divides
         # that overhead.  Trailing phantom diagonals (when unroll does
-        # not divide la+lb-1) are no-ops by construction: their
+        # not divide the trip count) are no-ops by construction: their
         # validity mask (i in [0, len_a)) is empty, so h == 0
         # everywhere and the state rolls harmlessly.  Interleaved
         # same-process A/B on v5e: unroll 1 == 2 (11.9 vs 11.8 ms at
         # B=16384), 4 and 8 are WORSE — Mosaic's loop overhead is not
         # the limiter (an isolated pair of runs once suggested 1.85x,
         # which turned out to be tunnel-phase noise; trust only
-        # interleaved A/B here).  Kept as a tuning knob.
+        # interleaved A/B here).  The double-buffer role swap needs an
+        # even unroll (roles return to canonical per iteration) — the
+        # wrapper enforces it.
         def step_u(it, _):
             for u in range(unroll):
-                one_diag(unroll * it + u)
+                d = unroll * it + u
+                if variant == "r2" or u % 2 == 0:
+                    one_diag(d, hprev_ref, hpp_ref)
+                else:
+                    one_diag(d, hpp_ref, hprev_ref)
             return 0
 
-        jax.lax.fori_loop(0, -(-(la + lb - 1) // unroll), step_u, 0)
+        # Dynamic trip count (round-3): the static bound pays
+        # la+lb-1 serialized steps per tile, but real verify batches
+        # are mostly much shorter than the padded window (script lines
+        # are ~5-20 tokens inside a 64-token budget) — run only to the
+        # tile's max actual diagonal.  Diagonals past every pair's
+        # len_a+len_b-1 are the same phantom no-ops as unroll slack,
+        # so stopping early is exact; best_ref already holds the
+        # answer and nothing after the loop reads the rolled state.
+        static_iters = -(-(la + lb - 1) // unroll)
+        if variant == "r2":
+            iters = static_iters
+        else:
+            d_hi = jnp.max(len_a + len_b) - 1
+            iters = jnp.minimum(
+                (d_hi + unroll - 1) // unroll, static_iters
+            )
+        jax.lax.fori_loop(0, iters, step_u, 0)
         denom = match * jnp.maximum(
             1, jnp.minimum(len_a, len_b)
         ).astype(jnp.float32)
@@ -299,15 +346,21 @@ def _sw_kernel(
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "tile_b", "interpret", "unroll",
-        "state",
+        "state", "variant",
     ),
 )
 def _sw_pallas_call(
     a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret,
-    unroll=2, state="f32",
+    unroll=2, state="f32", variant="fast",
 ):
     bsz, la = a.shape
     lb = b.shape[1]
+    if variant not in ("fast", "r2"):
+        raise ValueError(f"variant must be 'fast' or 'r2', got {variant!r}")
+    if variant == "fast" and unroll % 2:
+        # the double-buffered DP state swaps hprev/hpp roles per step;
+        # an even unroll returns the roles to canonical each iteration
+        raise ValueError(f"unroll must be even for variant='fast', got {unroll}")
     # 16-bit DP state packs 2 values per 32-bit VPU lane (2x elementwise
     # throughput) and is exact for small integer scoring params; Mosaic
     # cannot lane-rotate non-32-bit vectors ("Rotate with non-32-bit
@@ -329,7 +382,7 @@ def _sw_pallas_call(
     )
     kernel = functools.partial(
         _sw_kernel, la=la, lb=lb, match=match, mismatch=mismatch, gap=gap,
-        dtype=dtype, unroll=unroll,
+        dtype=dtype, unroll=unroll, variant=variant,
     )
     return pl.pallas_call(
         kernel,
@@ -369,8 +422,13 @@ def sw_normalized_pallas(
     interpret: bool = False,
     unroll: int = 2,
     state: str = "f32",
+    variant: str = "fast",
 ):
-    """Normalized SW scores for a batch of pairs. Pads batch to tile_b."""
+    """Normalized SW scores for a batch of pairs. Pads batch to tile_b.
+
+    ``variant``: "fast" (default) = double-buffered DP state + dynamic
+    trip count (round-3); "r2" = the round-2 copy-based kernel with
+    the static trip count, kept as the interleaved A/B control."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     len_a = jnp.asarray(len_a, jnp.int32).reshape(-1, 1)
@@ -388,5 +446,6 @@ def sw_normalized_pallas(
         a, b, len_a, len_b,
         match=cfg.sw_match, mismatch=cfg.sw_mismatch, gap=cfg.sw_gap,
         tile_b=tile_b, interpret=interpret, unroll=unroll, state=state,
+        variant=variant,
     )
     return out[:bsz, 0]

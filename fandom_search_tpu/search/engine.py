@@ -1202,14 +1202,34 @@ def fused_tail(
     starts_b = line_start[line_u] + b0
     len_b = jnp.minimum(llen - b0, mlt)
 
+    # ---- length-sort the verify batch (round 3) -----------------------
+    # The SW kernel's dynamic trip count runs each TILE to its max
+    # actual diagonal — but one long pair pins a whole 256-row tile,
+    # and an unsorted batch puts a long pair in nearly every tile.
+    # Sorting by len_a+len_b descending makes tiles length-homogeneous
+    # (padding rows sort last, feeding the all-padding tile skip), so
+    # short-line tiles — the bulk of a real verify batch — run ~1/3
+    # the serialized wavefront steps.  One [VB] sort + 4 gathers + a
+    # scatter to restore order; exact (pairs score independently).
+    vb = starts_a.shape[0]
+    iota_v = jnp.arange(vb, dtype=jnp.int32)
+    _, perm = jax.lax.sort(
+        (-(len_a + len_b), iota_v), num_keys=1, is_stable=True
+    )
     offs = jnp.arange(w, dtype=jnp.int32)[None, :]
-    a = jnp.take(stream, jnp.clip(starts_a[:, None] + offs, 0, t_pad - 1))
+    a = jnp.take(
+        stream, jnp.clip(starts_a[perm][:, None] + offs, 0, t_pad - 1)
+    )
     offs_b = jnp.arange(mlt, dtype=jnp.int32)[None, :]
     b = jnp.take(
         script_stream,
-        jnp.clip(starts_b[:, None] + offs_b, 0, script_stream.shape[0] - 1),
+        jnp.clip(
+            starts_b[perm][:, None] + offs_b,
+            0, script_stream.shape[0] - 1,
+        ),
     )
-    vscore = verify_impl(a, b, len_a, len_b)
+    vscore_p = verify_impl(a, b, len_a[perm], len_b[perm])
+    vscore = jnp.zeros((vb,), vscore_p.dtype).at[perm].set(vscore_p)
 
     # ---- final compact: only verified hits leave the device -----------
     keep = jnp.logical_and(uvalid, vscore >= search_cfg.verify_threshold)
@@ -1242,6 +1262,15 @@ def _verify_jit(stream, packed, script_stream,
     starts_a, len_a, starts_b, len_b = (
         packed[0], packed[1], packed[2], packed[3]
     )
+    # length-sort so SW tiles are length-homogeneous (same rationale
+    # as fused_tail: the kernel's dynamic trip count is per-tile)
+    c = starts_a.shape[0]
+    _, perm = jax.lax.sort(
+        (-(len_a + len_b), jnp.arange(c, dtype=jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    starts_a, len_a = starts_a[perm], len_a[perm]
+    starts_b, len_b = starts_b[perm], len_b[perm]
     offs = jnp.arange(window, dtype=jnp.int32)[None, :]
     gather_idx = jnp.clip(starts_a[:, None] + offs, 0, stream.shape[0] - 1)
     a = jnp.take(stream, gather_idx)                      # [C, window]
@@ -1251,7 +1280,9 @@ def _verify_jit(stream, packed, script_stream,
     )
     b = jnp.take(script_stream, gather_b)                 # [C, max_lt]
     if use_pallas:
-        return sw_normalized_pallas(
+        vscore = sw_normalized_pallas(
             a, b, len_a, len_b, search_cfg, interpret=interpret
         )
-    return sw_normalized_jnp(a, b, len_a, len_b, search_cfg)
+    else:
+        vscore = sw_normalized_jnp(a, b, len_a, len_b, search_cfg)
+    return jnp.zeros((c,), vscore.dtype).at[perm].set(vscore)

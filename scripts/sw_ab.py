@@ -1,5 +1,20 @@
 #!/usr/bin/env python
-"""Interleaved A/B: SW kernel f32 state vs i16 (concat-shift) state.
+"""Interleaved A/B of the SW kernel variants (VERDICT r2 #7).
+
+Compares variant="fast" (round-3: double-buffered DP state + dynamic
+trip count) against variant="r2" (round-2 copy-based kernel, static
+trips) in ONE process with scalar-pull sync, under three length
+regimes:
+
+  * full:  len_a = window (64), len_b = max_line — the round-2 bench
+    shape; isolates the double-buffer win (dynamic trips buy nothing).
+  * real:  len_b ~ 5-20 tokens (script lines), len_a = window — the
+    engine's actual verify distribution; dynamic trips dominate.
+  * mixed: one long pair per tile — worst case for per-tile dynamic
+    trips (one hot pair pins the whole tile's trip count).
+
+Also A/Bs the i16-state attempt (historically Mosaic-blocked on v5e —
+rerun to re-confirm on current toolchain).
 
 Usage: python scripts/sw_ab.py [rounds]
 """
@@ -30,34 +45,68 @@ def main():
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(1, 1000, size=(B, w)).astype(np.uint32))
     b = jnp.asarray(rng.integers(1, 1000, size=(B, mlt)).astype(np.uint32))
-    la = np.full(B, w, np.int32)
-    lb = np.full(B, mlt, np.int32)
 
-    def run(state):
-        return sw_normalized_pallas(a, b, la, lb, cfg, state=state)
+    la_full = np.full(B, w, np.int32)
+    lb_full = np.full(B, mlt, np.int32)
+    lb_real = rng.integers(5, 21, size=B).astype(np.int32)
+    la_real = np.minimum(w, 2 * lb_real + 6).astype(np.int32)
+    lb_mixed = lb_real.copy()
+    lb_mixed[::256] = mlt  # one long pair per 256-row tile
+    la_mixed = la_real.copy()
+    la_mixed[::256] = w
+
+    regimes = {
+        "full": (la_full, lb_full),
+        "real": (la_real, lb_real),
+        "mixed": (la_mixed, lb_mixed),
+    }
+    variants = ["fast", "r2"]
+
+    def run(variant, la, lb):
+        return sw_normalized_pallas(a, b, la, lb, cfg, variant=variant)
 
     def sync(o):
         return np.asarray(jnp.sum(o))
 
-    for s in ("f32", "i16"):
-        sync(run(s))
-    best = {"f32": float("inf"), "i16": float("inf")}
+    # correctness cross-check + warm
+    for name, (la, lb) in regimes.items():
+        outs = [np.asarray(run(v, la, lb)) for v in variants]
+        assert np.array_equal(outs[0], outs[1]), f"variant mismatch ({name})"
+    print("variant parity OK across regimes", flush=True)
+
+    best = {(n, v): float("inf") for n in regimes for v in variants}
     for r in range(rounds):
-        line = []
-        for s in ("f32", "i16"):
-            t0 = time.perf_counter()
-            for _ in range(3):
-                out = run(s)
-            sync(out)
-            dt = (time.perf_counter() - t0) / 3
-            best[s] = min(best[s], dt)
-            line.append(f"{s} {dt*1e3:.1f}ms")
-        print(f"round {r}: " + " | ".join(line), flush=True)
-    cells = B * w * mlt
-    print("BEST: " + " | ".join(
-        f"{s} {best[s]*1e3:.1f}ms ({cells/best[s]/1e9:.2f} G cells/s)"
-        for s in ("f32", "i16")
-    ))
+        for name, (la, lb) in regimes.items():
+            for v in variants:  # interleaved within one phase
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    out = run(v, la, lb)
+                sync(out)
+                best[(name, v)] = min(
+                    best[(name, v)], (time.perf_counter() - t0) / 3
+                )
+        print(f"round {r}: " + " | ".join(
+            f"{n}:{v} {best[(n, v)]*1e3:.1f}ms"
+            for n in regimes for v in variants
+        ), flush=True)
+
+    cells = B * w * mlt  # nominal cells (padded): same for both variants
+    print("\nBEST (nominal G cells/s over the padded shape):")
+    for name in regimes:
+        f, r2 = best[(name, "fast")], best[(name, "r2")]
+        print(f"  {name:5s}: fast {f*1e3:6.1f}ms ({cells/f/1e9:5.2f} G) | "
+              f"r2 {r2*1e3:6.1f}ms ({cells/r2/1e9:5.2f} G) | "
+              f"fast is x{r2/f:.2f}")
+
+    # i16 re-attempt (expected to fail compile on v5e — see module doc)
+    try:
+        sync(sw_normalized_pallas(
+            a, b, la_full, lb_full, cfg, state="i16"
+        ))
+        print("i16 state COMPILED on this toolchain — re-A/B it!")
+    except Exception as e:  # noqa: BLE001
+        print(f"i16 state still blocked: {type(e).__name__}: "
+              f"{str(e)[:120]}")
 
 
 if __name__ == "__main__":

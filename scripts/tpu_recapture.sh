@@ -17,6 +17,9 @@ timeout 1200 python scripts/kernel_floor.py || echo "kernel_floor FAILED rc=$?"
 echo "=== sub-tile gate A/B (gate_cols 1/2/4/8 — VERDICT r2 #4) ==="
 timeout 1800 python scripts/gate_ab.py || echo "gate_ab FAILED rc=$?"
 
+echo "=== SW variant A/B (fast vs r2, 3 length regimes — VERDICT r2 #7) ==="
+timeout 1800 python scripts/sw_ab.py || echo "sw_ab FAILED rc=$?"
+
 echo "=== bucketed + hybrid at 2^20 (uniform) ==="
 timeout 1800 python scripts/bucketed_probe.py 20 17 || echo "bucketed_probe FAILED rc=$?"
 

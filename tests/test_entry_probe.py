@@ -151,3 +151,32 @@ def test_bench_forced_degraded_flags_driver_line():
     out = __import__("json").loads(r.stdout.strip().splitlines()[-1])
     assert out["degraded"] is True
     assert out["backend"] == "cpu"
+
+
+def test_cli_ensure_backend_falls_back(monkeypatch):
+    """The user-facing CLI commands must probe device init and fall
+    back to CPU instead of hanging forever on a dead tunnel (the
+    bench/entry outage-proofing, extended to search/index/serve)."""
+    import argparse
+
+    from fandom_search_tpu import cli
+    from fandom_search_tpu.utils import device_probe
+
+    calls = []
+    monkeypatch.setattr(device_probe, "probed_device_count", lambda: 0)
+    monkeypatch.setattr(
+        device_probe, "fallback_to_cpu",
+        lambda reason: calls.append(reason),
+    )
+    args = argparse.Namespace(cpu=False, multihost=False)
+    cli._ensure_backend(args)
+    assert calls  # a hung probe routed to the CPU fallback
+
+    # --cpu pins the backend: no probe, no fallback
+    calls.clear()
+    monkeypatch.setattr(
+        device_probe, "probed_device_count",
+        lambda: (_ for _ in ()).throw(AssertionError("probed under --cpu")),
+    )
+    cli._ensure_backend(argparse.Namespace(cpu=True, multihost=False))
+    assert not calls

@@ -117,3 +117,32 @@ def test_i16_state_matches_f32(rng):
         sw_normalized_pallas(a, b, la, lb, cfg, interpret=True, state="i16")
     )
     np.testing.assert_array_equal(f, i)
+
+
+def test_fast_variant_matches_r2_and_numpy(rng):
+    """Round-3 kernel (double-buffered DP state + dynamic trip count)
+    must be bit-equal to the round-2 control variant and the NumPy
+    oracle on ragged batches — including tiles whose max length is far
+    below the static bound (the dynamic-trips win case) and tiles with
+    one long pair (the dynamic-trips worst case)."""
+    a, b, len_a, len_b = _make_batch(rng, 64)
+    # one tile of short pairs, one tile with a single long pair
+    len_b[:32] = rng.integers(3, 9, size=32)
+    len_a[:32] = rng.integers(5, 15, size=32)
+    len_b[32:] = rng.integers(3, 9, size=32)
+    len_a[32:] = rng.integers(5, 15, size=32)
+    len_a[40], len_b[40] = a.shape[1], b.shape[1]
+    want = _np_scores(a, b, len_a, len_b)
+    for variant in ("fast", "r2"):
+        got = np.asarray(
+            sw_normalized_pallas(
+                a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+                variant=variant,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # odd unroll is incompatible with the role-swapped buffers
+    with pytest.raises(ValueError, match="unroll"):
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True, unroll=3
+        )
