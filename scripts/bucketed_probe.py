@@ -4,9 +4,14 @@
 Interleaved same-process A/B with scalar-pull sync (the axon tunnel's
 throughput phases make anything else untrustworthy — DESIGN.md §7).
 
-Usage: python scripts/bucketed_probe.py [log2_ns] [log2_nq] [zipf] [all]
-  "zipf" -> Zipf word distribution (hot-bucket stress)
-  "all"  -> pairs="all" probe mode (15 probes, >=2-match guarantee)
+Usage: python scripts/bucketed_probe.py [log2_ns] [log2_nq] [zipf|english] [all]
+  "zipf"    -> Zipf-1.3%50k word distribution (hot-bucket stress; the
+               #5c corpus whose reroute fraction is pinned ~86% —
+               DESIGN.md §4.4)
+  "english" -> zipf-1.01 over a 2^19 vocab (top word ~2.6%, the
+               realistic-text regime; pair with "all" for the
+               deterministic >=2-match guarantee at ~7% reroute)
+  "all"     -> pairs="all" probe mode (15 probes, >=2-match guarantee)
 """
 
 import os
@@ -28,6 +33,7 @@ def main():
     log2_ns = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     log2_nq = int(sys.argv[2]) if len(sys.argv) > 2 else 17
     zipf = "zipf" in sys.argv[3:]
+    english = "english" in sys.argv[3:]
     all_pairs = "all" in sys.argv[3:]
 
     import jax
@@ -61,6 +67,12 @@ def main():
             ranks = rng.zipf(1.3, size=tokens) % 50000
             vocab = rng.integers(0, 2**32, size=50000, dtype=np.uint32)
             return vocab[ranks]
+        if english:
+            # English-like skew (bench #5d): top word ~2.6% of tokens
+            v = 1 << 19
+            ranks = rng.zipf(1.01, size=tokens) % v
+            vocab = rng.integers(0, 2**32, size=v, dtype=np.uint32)
+            return vocab[ranks]
         return rng.integers(0, 2**32, size=tokens, dtype=np.uint32)
 
     t0 = time.perf_counter()
@@ -75,8 +87,10 @@ def main():
     windows = shingle_hashes(s_stream, cfg.shingle)
     s_emb = embed_shingles_np(s_stream, cfg.shingle)
     q_emb = embed_shingles_np(q_stream, cfg.shingle)
+    dist = "zipf" if zipf else ("english" if english else "uniform")
     print(f"world built in {time.perf_counter()-t0:.1f}s "
-          f"(ns={ns}, nq={nq}, zipf={zipf})", flush=True)
+          f"(ns={ns}, nq={nq}, dist={dist}, pairs={bcfg.pairs})",
+          flush=True)
 
     t0 = time.perf_counter()
     bidx = BucketedIndex.build(windows, bcfg, cfg.shingle)

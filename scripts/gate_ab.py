@@ -51,47 +51,61 @@ def main():
     print(f"devices: {jax.devices()}  tiles {tq}x{ts}", flush=True)
 
     dim, k, mk = scfg.dim, 10, 3.5
-    variants = [1, 2, 4, 8]
+    # (gate_cols, tile_s) variants: the sub-gated kill-loop scratch is
+    # tile_s/gate_cols wide, so gate_cols >= 4 frees enough VMEM to
+    # try tile_s=8192 (the full [TQ, TS] scratch blew the 16MB scoped
+    # limit there in round 1) — variants that fail to compile are
+    # reported and skipped, not fatal.
+    variants = [(1, ts), (2, ts), (4, ts), (8, ts)]
+    if sp.shape[0] % 8192 == 0:
+        variants += [(4, 8192), (8, 8192)]
 
-    def run(gc):
+    def run(gc, tsv):
         v, _ = topk_dot_pallas(
-            qt, sp, nsv, k, dim, tile_q=tq, tile_s=ts, min_keep=mk,
+            qt, sp, nsv, k, dim, tile_q=tq, tile_s=tsv, min_keep=mk,
             q_transposed=True, merge="insert", gate_cols=gc,
         )
         return v
 
     # warm + correctness cross-check
     base = None
-    for gc in variants:
-        v = np.asarray(run(gc))
+    live = []
+    for gc, tsv in variants:
+        try:
+            v = np.asarray(run(gc, tsv))
+        except Exception as e:  # noqa: BLE001 — compile failures expected
+            print(f"gc={gc}/ts={tsv}: compile failed "
+                  f"({type(e).__name__}: {str(e)[:100]})", flush=True)
+            continue
         keep = v >= mk
         if base is None:
             base = (keep, v[keep])
         else:
-            assert np.array_equal(keep, base[0]), f"gate_cols={gc} keep mask"
-            assert np.array_equal(v[keep], base[1]), f"gate_cols={gc} vals"
-    print("above-threshold parity OK across", variants, flush=True)
+            assert np.array_equal(keep, base[0]), f"gc={gc}/ts={tsv} mask"
+            assert np.array_equal(v[keep], base[1]), f"gc={gc}/ts={tsv} vals"
+        live.append((gc, tsv))
+    print("above-threshold parity OK across", live, flush=True)
 
-    best = {gc: float("inf") for gc in variants}
+    best = {vt: float("inf") for vt in live}
     for r in range(rounds):
-        for gc in variants:  # interleaved: one phase hits all variants
+        for vt in live:  # interleaved: one phase hits all variants
             t0 = time.perf_counter()
-            _ = float(np.asarray(jnp.sum(run(gc))))  # scalar-pull sync
+            _ = float(np.asarray(jnp.sum(run(*vt))))  # scalar-pull sync
             dt = time.perf_counter() - t0
-            best[gc] = min(best[gc], dt)
+            best[vt] = min(best[vt], dt)
         print(
             f"round {r}: "
             + "  ".join(
-                f"gc={gc}: {best[gc]*1e3:.2f}ms "
-                f"({nq*ns/best[gc]/1e9:.1f} G)"
-                for gc in variants
+                f"gc={gc}/ts={tsv}: {best[(gc, tsv)]*1e3:.2f}ms"
+                for gc, tsv in live
             ),
             flush=True,
         )
     print("\nbest-of-rounds (pairs/s):")
-    for gc in variants:
-        print(f"  gate_cols={gc}: {nq*ns/best[gc]/1e9:.1f} G "
-              f"({best[gc]*1e3:.2f} ms)")
+    for gc, tsv in live:
+        print(f"  gate_cols={gc} tile_s={tsv}: "
+              f"{nq*ns/best[(gc, tsv)]/1e9:.1f} G "
+              f"({best[(gc, tsv)]*1e3:.2f} ms)")
 
 
 if __name__ == "__main__":

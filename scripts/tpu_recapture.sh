@@ -23,8 +23,11 @@ timeout 1800 python scripts/sw_ab.py || echo "sw_ab FAILED rc=$?"
 echo "=== bucketed + hybrid at 2^20 (uniform) ==="
 timeout 1800 python scripts/bucketed_probe.py 20 17 || echo "bucketed_probe FAILED rc=$?"
 
-echo "=== bucketed + hybrid at 2^20 (zipf — the hybrid's target regime) ==="
+echo "=== bucketed + hybrid at 2^20 (zipf — the pinned-reroute stress case) ==="
 timeout 1800 python scripts/bucketed_probe.py 20 17 zipf || echo "bucketed_probe zipf FAILED rc=$?"
+
+echo "=== bucketed + hybrid at 2^20 (english skew + all-pairs — the realistic regime, DESIGN.md 4.4) ==="
+timeout 1800 python scripts/bucketed_probe.py 20 17 english all || echo "bucketed_probe english FAILED rc=$?"
 
 echo "=== e2e 10k works steady-state with stage attribution ==="
 timeout 1800 python scripts/e2e_probe.py 10000 4 || echo "e2e_probe FAILED rc=$?"
