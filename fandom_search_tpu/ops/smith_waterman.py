@@ -305,14 +305,13 @@ def _sw_kernel(
         # interleaved A/B here).  The double-buffer role swap needs an
         # even unroll (roles return to canonical per iteration) — the
         # wrapper enforces it.
-        def step_u(it, _):
+        def diags(it):
             for u in range(unroll):
                 d = unroll * it + u
                 if variant == "r2" or u % 2 == 0:
                     one_diag(d, hprev_ref, hpp_ref)
                 else:
                     one_diag(d, hpp_ref, hprev_ref)
-            return 0
 
         # Dynamic trip count (round-3): the static bound pays
         # la+lb-1 serialized steps per tile, but real verify batches
@@ -320,17 +319,27 @@ def _sw_kernel(
         # are ~5-20 tokens inside a 64-token budget) — run only to the
         # tile's max actual diagonal.  Diagonals past every pair's
         # len_a+len_b-1 are the same phantom no-ops as unroll slack,
-        # so stopping early is exact; best_ref already holds the
+        # so skipping them is exact; best_ref already holds the
         # answer and nothing after the loop reads the rolled state.
+        # Shape: a STATIC-trip fori_loop whose tail iterations skip
+        # their body under pl.when — the kill-loop's proven Mosaic
+        # pattern (ops/distance_topk.py _entrant_loop) — NOT a
+        # dynamic loop bound, which would lower to scf.while and has
+        # not been proven on this toolchain (DESIGN.md §7 discipline:
+        # don't gamble an engine-path kernel on an unproven lowering).
         static_iters = -(-(la + lb - 1) // unroll)
         if variant == "r2":
-            iters = static_iters
+            def step_u(it, _):
+                diags(it)
+                return 0
         else:
-            d_hi = jnp.max(len_a + len_b) - 1
-            iters = jnp.minimum(
-                (d_hi + unroll - 1) // unroll, static_iters
-            )
-        jax.lax.fori_loop(0, iters, step_u, 0)
+            needed = jnp.max(len_a + len_b) - 1  # real diagonal count
+
+            def step_u(it, _):
+                pl.when(it * unroll < needed)(lambda: diags(it))
+                return 0
+
+        jax.lax.fori_loop(0, static_iters, step_u, 0)
         denom = match * jnp.maximum(
             1, jnp.minimum(len_a, len_b)
         ).astype(jnp.float32)
