@@ -420,9 +420,14 @@ def _flat_impl(
     score_i = jnp.where(keep, jnp.round(score * dim).astype(jnp.int32), 0)
     key_row = jnp.where(keep, row, big)
     key_neg = -score_i
-    row_s, _, sid_s, score_s = jax.lax.sort(
-        (key_row, key_neg, sid, score), num_keys=3, is_stable=True
+    # no f32 score payload: sort cost scales with operand count
+    # (engine dedup-sort discipline), and the score reconstructs
+    # EXACTLY from the -score_i key — int8-dot scores are integral and
+    # exact in f32, and dim is a power of two, so score_i/dim == score
+    row_s, neg_s, sid_s = jax.lax.sort(
+        (key_row, key_neg, sid), num_keys=3, is_stable=True
     )
+    score_s = (-neg_s).astype(jnp.float32) / dim
     e = row_s.shape[0]
     iota = jnp.arange(e, dtype=jnp.int32)
     first = jnp.concatenate(
