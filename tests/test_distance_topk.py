@@ -280,6 +280,7 @@ def test_gate_cols_subtile_gating_parity(rng):
     v1, i1 = np.asarray(v1), np.asarray(i1)
     k1 = v1 >= mk
     assert k1.sum() > 100
+    qt = jnp.asarray(np.ascontiguousarray(q_emb.T))
     for gc in (2, 4, 8):
         vg, ig = topk_dot_pallas(
             jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=1024,
@@ -290,6 +291,17 @@ def test_gate_cols_subtile_gating_parity(rng):
         np.testing.assert_array_equal(kg, k1)
         np.testing.assert_array_equal(vg[kg], v1[k1])
         np.testing.assert_array_equal(ig[kg], i1[k1])
+        # the engine's lane-major layout (q_transposed) must agree too
+        vt, it = topk_dot_pallas(
+            qt, sp, nsv, K, DIM, tile_s=1024, interpret=True,
+            min_keep=mk, merge="insert", gate_cols=gc,
+            q_transposed=True,
+        )
+        vt, it = np.asarray(vt), np.asarray(it)
+        kt = vt >= mk
+        np.testing.assert_array_equal(kt, k1)
+        np.testing.assert_array_equal(vt[kt], v1[k1])
+        np.testing.assert_array_equal(it[kt], i1[k1])
 
 
 def test_gate_cols_validation():
