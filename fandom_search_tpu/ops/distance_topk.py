@@ -437,7 +437,11 @@ def topk_dot_pallas(
     answers at dim>=256 without this).  ``gate_cols`` splits each tile
     into that many column blocks with independent merge gates
     (insert fast path only; see _insert_merge_block) — sub-tile
-    gating so one hot row doesn't un-skip a whole tile's merge."""
+    gating so one hot row doesn't un-skip a whole tile's merge.
+    Device A/B (scripts/gate_ab.py, 2026-08-19, 1%-plant corpus where
+    81% of tiles fire): gate_cols 1/2/4 within noise, 8 worse — at
+    realistic hit density every tile has an entrant ROW, so narrowing
+    the columns only splits the same traversals.  Default stays 1."""
     if merge not in ("insert", "insertloop", "rebuild"):
         # an unknown value would emit a kernel with NO merge branch,
         # returning the sentinel-initialized buffer as silent garbage
@@ -446,8 +450,8 @@ def topk_dot_pallas(
         )
     if gate_cols is None:
         # repo-wide default, env-overridable so the recapture scripts
-        # can A/B sub-tile gating through the whole engine; flipped in
-        # code (not env) once the on-device A/B settles
+        # can A/B sub-tile gating through the whole engine; the
+        # 2026-08-19 device A/B settled on 1 (see docstring)
         gate_cols = _default_gate_cols()
     if gate_cols < 1 or tile_s % (gate_cols * 128) != 0:
         # each block must stay lane-aligned (128) for clean VMEM slices

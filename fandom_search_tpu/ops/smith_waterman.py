@@ -49,19 +49,24 @@ masks ARE comparisons.  The path is kept behind ``state="i16"`` for
 future toolchains; f32 remains the default.
 All-padding tiles skip the wavefront via a pl.when gate.
 
-Round-3 restructurings (variant="fast", default; variant="r2" keeps
-the old shape as the in-process A/B control):
+Round-3 restructurings (variant="fast"; variant="r2" is the round-2
+shape and the DEFAULT — the device A/B went the other way):
   * double-buffered DP state — hprev/hpp swap ROLES per step instead
     of copying (deletes 2 full-tile VMEM stores from every step);
   * dynamic trip count — the wavefront runs to the tile's actual
-    max(len_a+len_b)-1 diagonal, not the static la+lb-1: engine
-    verify batches are dominated by short script lines (~5-20 tokens
-    in a 64-token budget), so most tiles run far fewer serialized
-    steps.  Sorting the verify batch by length would compound this
-    (tiles become length-homogeneous); not done yet — the batch
-    order currently carries candidate provenance.
-The op count per step after these is near-minimal (3 lane-rolls +
-~10 elementwise, 1 store).
+    max(len_a+len_b)-1 diagonal, not the static la+lb-1, via a
+    static-trip loop whose tail steps skip under pl.when.
+Device verdict (scripts/sw_ab.py, interleaved on TPU 2026-08-19,
+with the engine's length-sorted homogeneous tiles): fast is x0.88
+(full-length), x0.99 (engine-realistic short lines), x0.86 (mixed) —
+i.e. a LOSS everywhere: the per-step pl.when gate + role-swap select
+overhead exceeds both the deleted stores and the skipped tail
+diagonals at tile_b=256.  Rejected restructuring (f); the variant
+stays available for re-measurement on future toolchains.  The engine
+keeps the verify-batch length sort regardless: homogeneous tiles are
+what let r2's static trip count stay near the true work bound.
+The r2 op count per step is 3 lane-rolls + ~12 elementwise + 3
+stores.
 """
 
 from __future__ import annotations
@@ -360,7 +365,7 @@ def _sw_kernel(
 )
 def _sw_pallas_call(
     a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret,
-    unroll=2, state="f32", variant="fast",
+    unroll=2, state="f32", variant="r2",
 ):
     bsz, la = a.shape
     lb = b.shape[1]
@@ -431,13 +436,15 @@ def sw_normalized_pallas(
     interpret: bool = False,
     unroll: int = 2,
     state: str = "f32",
-    variant: str = "fast",
+    variant: str = "r2",
 ):
     """Normalized SW scores for a batch of pairs. Pads batch to tile_b.
 
-    ``variant``: "fast" (default) = double-buffered DP state + dynamic
-    trip count (round-3); "r2" = the round-2 copy-based kernel with
-    the static trip count, kept as the interleaved A/B control."""
+    ``variant``: "r2" (default) = the round-2 copy-based kernel with
+    the static trip count; "fast" = double-buffered DP state + dynamic
+    trip count — measured SLOWER on device (x0.86-0.99, scripts/
+    sw_ab.py 2026-08-19; rejected restructuring (f) in the module
+    doc), kept for interleaved A/Bs on future toolchains."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     len_a = jnp.asarray(len_a, jnp.int32).reshape(-1, 1)

@@ -141,8 +141,10 @@ def test_fast_variant_matches_r2_and_numpy(rng):
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
-    # odd unroll is incompatible with the role-swapped buffers
+    # odd unroll is incompatible with the fast variant's role-swapped
+    # buffers (the r2 default has no such constraint)
     with pytest.raises(ValueError, match="unroll"):
         sw_normalized_pallas(
-            a, b, len_a, len_b, CFG, tile_b=32, interpret=True, unroll=3
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True, unroll=3,
+            variant="fast",
         )
