@@ -278,6 +278,40 @@ def probe_candidates(
     )
 
 
+def _probe_geometry(
+    stream: jax.Array,     # uint32 [T] query token hashes
+    offsets: jax.Array,    # int32 [P, B+1]
+    *,
+    n: int,
+    cap: int,
+    num_buckets: int,
+    salts: Tuple[int, ...],
+    pairs_mode: str,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Bucket (start, clipped length) per (query, probe) — the probe
+    WITHOUT the entry gather.  Returns (start [M,P], ln [M,P],
+    at_risk [M]).  This is all the segment-scatter flat path needs:
+    it never materializes the [M, P*cap] candidate matrix (~97%
+    padding at healthy load factors), whose gather + row-sort + dedup
+    dominated probe_candidates' device time (78.5 ms of the 139 ms
+    flat chain at NS=2^20/M=2^17, scripts/flat_stages.py 2026-08-19)."""
+    t = stream.shape[0]
+    m = max(1, t - n + 1)
+    pairs = _pairs_for(n, pairs_mode)
+    starts, lens = [], []
+    at_risk = jnp.zeros((m,), dtype=bool)
+    for i, (a, b) in enumerate(pairs):
+        w_a = jax.lax.dynamic_slice_in_dim(stream, a, m)
+        w_b = jax.lax.dynamic_slice_in_dim(stream, b, m)
+        bk = _bucket_ids(w_a, w_b, jnp.uint32(salts[i]), num_buckets)
+        start = offsets[i, bk]
+        full = offsets[i, bk + 1] - start
+        at_risk = jnp.logical_or(at_risk, full > cap)
+        starts.append(start)
+        lens.append(jnp.minimum(full, cap))
+    return jnp.stack(starts, axis=1), jnp.stack(lens, axis=1), at_risk
+
+
 def bucketed_topk(
     q_emb: jax.Array,          # int8 [M, D] query embeddings
     stream: jax.Array,         # uint32 [T] query token hashes
@@ -314,7 +348,7 @@ def bucketed_topk(
     jax.jit,
     static_argnames=(
         "n", "cap", "num_buckets", "salts", "k", "dim", "threshold",
-        "max_out", "pairs_mode",
+        "max_out", "pairs_mode", "impl",
     ),
 )
 def bucketed_candidates_flat(
@@ -333,6 +367,7 @@ def bucketed_candidates_flat(
     threshold: float,
     max_out: int,
     pairs_mode: str = "triangles",
+    impl: str = "seg",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sub-linear candidate generation emitting engine-ready triples.
 
@@ -340,8 +375,9 @@ def bucketed_candidates_flat(
     factor (~1.5 true candidates per query), and gathering embeddings
     for padded slots dominated the first bucketed implementation's
     wall-clock (scripts/bucketed_probe.py round-1: 668 ms vs the
-    exact kernel's 460 at NS=2^20).  This path flat-compacts the TRUE
-    (query, shingle) pairs first (nonzero_compact — cumsum + scatter),
+    exact kernel's 460 at NS=2^20).  Round 3 removed the padded
+    matrix entirely: the default impl="seg" (see _flat_impl) builds
+    the true-pair stream by segment-scatter over bucket geometry,
     gathers and dot-scores only those, applies the threshold, ranks
     per query with a 3-key sort + segment-rank cummax (exact top-k,
     lowest-index ties — the exact kernel's rule), and compacts to the
@@ -365,7 +401,7 @@ def bucketed_candidates_flat(
         stream, q_emb, entries, offsets, s_emb_padded,
         n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k, dim=dim,
         threshold=threshold, max_out=max_out, pairs_mode=pairs_mode,
-        drop_risk=False,
+        drop_risk=False, impl=impl,
     )
     return out
 
@@ -373,13 +409,37 @@ def bucketed_candidates_flat(
 def _flat_impl(
     stream, q_emb, entries, offsets, s_emb_padded, *,
     n, cap, num_buckets, salts, k, dim, threshold, max_out, pairs_mode,
-    drop_risk,
+    drop_risk, impl="seg",
 ):
     """Shared flat-path body; returns ((qpos, sidx, sc, count), at_risk).
 
     ``drop_risk`` masks every pair from an at-risk query (one probing
     an over-cap bucket) out of the flat stream — the hybrid caller
-    covers those queries with the exact kernel instead."""
+    covers those queries with the exact kernel instead.
+
+    ``impl`` selects the candidate-stream construction:
+
+    * "seg" (default) — segment-scatter: probe only the bucket
+      (start, length) geometry, exclusive-scan the clipped lengths,
+      scatter one marker per segment start into the [E] pair budget
+      and cumsum to recover each slot's (query, probe) segment, then
+      gather entries directly at their in-bucket offsets.  Nothing
+      [M, P*cap]-shaped ever exists; per-slot work is O(E).
+      Duplicate candidates (one shingle reachable through several
+      probed buckets) stay in the stream and are masked AFTER the
+      ranking sort, where (row, sid) duplicates are adjacent.
+    * "gather" — the round-2 shape, kept as the in-process A/B
+      control and parity oracle: probe_candidates materializes the
+      padded [M, P*cap] matrix (entry gather + row sort + neighbor
+      dedup), then nonzero_compact lifts the true pairs out.  Device
+      cost at NS=2^20/M=2^17: probe 78.5 ms + compact 36.5 ms of the
+      139 ms chain (scripts/flat_stages.py, 2026-08-19) — all of it
+      spent materializing and scanning ~97% padding.
+
+    Both impls emit identical (qpos, sidx, sc) and identical counts in
+    the non-overflow regime; the overflow trigger differs only in
+    counting pre-dedup (seg) vs post-dedup (gather) pair mass against
+    the same budget, conservative in the same direction (retry)."""
     from fandom_search_tpu.search.engine import nonzero_compact
 
     m_queries = max(1, stream.shape[0] - n + 1)
@@ -388,21 +448,55 @@ def _flat_impl(
     pair_budget = 1024
     while pair_budget < slack * m_queries + 8 * max_out:
         pair_budget *= 2
-    cand, ok, at_risk = probe_candidates(
-        stream, entries, offsets,
-        n=n, cap=cap, num_buckets=num_buckets, salts=salts,
-        pairs_mode=pairs_mode,
-    )
-    if drop_risk:
-        ok = jnp.logical_and(ok, jnp.logical_not(at_risk)[:, None])
-    m, width = cand.shape
-    flat_ok = ok.ravel()
-    pair_count = jnp.sum(flat_ok.astype(jnp.int32))
-    pos = nonzero_compact(flat_ok, pair_budget)      # [E], -1 padded
-    safe = jnp.maximum(pos, 0)
-    valid = pos >= 0
-    row = (safe // width).astype(jnp.int32)
-    sid = cand.ravel()[safe]
+
+    if impl == "gather":
+        cand, ok, at_risk = probe_candidates(
+            stream, entries, offsets,
+            n=n, cap=cap, num_buckets=num_buckets, salts=salts,
+            pairs_mode=pairs_mode,
+        )
+        if drop_risk:
+            ok = jnp.logical_and(ok, jnp.logical_not(at_risk)[:, None])
+        m, width = cand.shape
+        flat_ok = ok.ravel()
+        pair_count = jnp.sum(flat_ok.astype(jnp.int32))
+        pos = nonzero_compact(flat_ok, pair_budget)  # [E], -1 padded
+        safe = jnp.maximum(pos, 0)
+        valid = pos >= 0
+        row = (safe // width).astype(jnp.int32)
+        sid = cand.ravel()[safe]
+    else:
+        start, ln, at_risk = _probe_geometry(
+            stream, offsets,
+            n=n, cap=cap, num_buckets=num_buckets, salts=salts,
+            pairs_mode=pairs_mode,
+        )
+        if drop_risk:
+            ln = jnp.where(at_risk[:, None], 0, ln)
+        ln_flat = ln.reshape(-1)                     # [M*P]
+        start_flat = start.reshape(-1)
+        csum = jnp.cumsum(ln_flat)
+        pair_count = csum[-1]                        # pre-dedup mass
+        out_start = csum - ln_flat                   # exclusive scan
+        # one marker per segment START (empty segments included: their
+        # markers pile onto the next start, so the inclusive cumsum
+        # skips them); starts beyond the budget clip onto the last
+        # slot, which only matters in the overflow-retry regime
+        adds = jnp.zeros((pair_budget,), jnp.int32).at[
+            jnp.minimum(out_start, pair_budget - 1)
+        ].add(1, mode="drop")
+        e_iota = jnp.arange(pair_budget, dtype=jnp.int32)
+        seg = jnp.cumsum(adds) - 1                   # [E] segment id
+        valid = e_iota < pair_count
+        seg = jnp.clip(seg, 0, ln_flat.shape[0] - 1)
+        row = (seg // p).astype(jnp.int32)
+        probe_i = seg % p
+        epos = start_flat[seg] + (e_iota - out_start[seg])
+        ecols = entries.shape[1]
+        sid = entries.reshape(-1)[
+            probe_i * ecols + jnp.clip(epos, 0, ecols - 1)
+        ]
+        sid = jnp.where(valid, sid, 0)
 
     qe = jnp.take(q_emb, jnp.minimum(row, q_emb.shape[0] - 1), axis=0)
     se = jnp.take(s_emb_padded, sid, axis=0)
@@ -433,9 +527,24 @@ def _flat_impl(
     first = jnp.concatenate(
         [jnp.ones((1,), bool), row_s[1:] != row_s[:-1]]
     )
+    # (row, sid) duplicates sort adjacent (equal row => equal score
+    # for equal sid, and sid is the third key); the seg impl leaves
+    # them in the stream, so mask them here and rank over survivors.
+    # The gather impl pre-dedups and this mask is all-False there.
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            jnp.logical_and(
+                row_s[1:] == row_s[:-1], sid_s[1:] == sid_s[:-1]
+            ),
+        ]
+    )
+    keep2 = jnp.logical_and(row_s < big, jnp.logical_not(dup))
+    c_inc = jnp.cumsum(keep2.astype(jnp.int32))
+    c_exc = c_inc - keep2.astype(jnp.int32)
     seg_start = jax.lax.cummax(jnp.where(first, iota, 0))
-    rank = iota - seg_start
-    topk_keep = jnp.logical_and(row_s < big, rank < k)
+    rank = c_exc - jnp.take(c_exc, seg_start)
+    topk_keep = jnp.logical_and(keep2, rank < k)
     final_count = jnp.sum(topk_keep.astype(jnp.int32))
 
     out_pos = nonzero_compact(topk_keep, max_out)
@@ -459,13 +568,13 @@ def _flat_impl(
     jax.jit,
     static_argnames=(
         "n", "cap", "num_buckets", "salts", "k", "dim", "threshold",
-        "max_out", "risk_budget", "pairs_mode",
+        "max_out", "risk_budget", "pairs_mode", "impl",
     ),
 )
 def bucketed_hybrid_parts(
     stream, q_emb, entries, offsets, s_emb_padded, *,
     n, cap, num_buckets, salts, k, dim, threshold, max_out,
-    risk_budget, pairs_mode="triangles",
+    risk_budget, pairs_mode="triangles", impl="seg",
 ):
     """Hybrid stage 1: the flat bucketed path with at-risk queries
     (those probing any over-cap bucket, where the pigeonhole guarantee
@@ -482,7 +591,7 @@ def bucketed_hybrid_parts(
         stream, q_emb, entries, offsets, s_emb_padded,
         n=n, cap=cap, num_buckets=num_buckets, salts=salts, k=k, dim=dim,
         threshold=threshold, max_out=max_out, pairs_mode=pairs_mode,
-        drop_risk=True,
+        drop_risk=True, impl=impl,
     )
     risk_rows = nonzero_compact(at_risk, risk_budget)
     risk_count = jnp.sum(at_risk.astype(jnp.int32))

@@ -561,3 +561,48 @@ def test_native_table_build_parity(rng):
             np.asarray(nat.offsets), np.asarray(ref.offsets)
         )
         assert nat.overflow_frac == ref.overflow_frac
+
+
+@pytest.mark.parametrize("pairs_mode", ["triangles", "all"])
+def test_seg_impl_matches_gather_impl(rng, pairs_mode):
+    """The round-3 segment-scatter flat path (impl="seg", default) must
+    emit bit-identical triples to the round-2 padded-gather control
+    (impl="gather") — planted worlds, both pair modes, and a skewed
+    stream with at-risk queries through the hybrid (drop_risk) path."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import (
+        bucketed_candidates_flat, bucketed_hybrid_parts,
+    )
+
+    q_stream, s_stream = _world(rng, nq=700, ns=2000)
+    # splice in a hot run so some buckets overflow cap (at-risk rows)
+    q_stream[90:140] = 7
+    s_stream[300:420] = 7
+    windows = shingle_hashes(s_stream, SCFG)
+    q_emb = embed_shingles_np(q_stream, SCFG)
+    s_pad, _ = pad_rows(embed_shingles_np(s_stream, SCFG), 512)
+    bidx = BucketedIndex.build(
+        windows, dataclasses.replace(BCFG, pairs=pairs_mode), SCFG
+    )
+    thr = CFG.search.candidate_threshold
+    kw = dict(
+        n=SCFG.n, cap=BCFG.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts, k=K, dim=DIM, threshold=thr, max_out=4096,
+        pairs_mode=pairs_mode,
+    )
+    args = (
+        jnp.asarray(q_stream), jnp.asarray(q_emb), bidx.entries,
+        bidx.offsets, jnp.asarray(s_pad),
+    )
+    flat_seg = bucketed_candidates_flat(*args, impl="seg", **kw)
+    flat_gat = bucketed_candidates_flat(*args, impl="gather", **kw)
+    for a, b in zip(flat_seg, flat_gat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(flat_seg[3]) > 0
+
+    hy_seg = bucketed_hybrid_parts(*args, risk_budget=256, impl="seg", **kw)
+    hy_gat = bucketed_hybrid_parts(*args, risk_budget=256, impl="gather", **kw)
+    for a, b in zip(hy_seg, hy_gat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(hy_seg[5]) > 0  # the splice produced at-risk rows
