@@ -300,12 +300,23 @@ def _probe_geometry(
     pairs = _pairs_for(n, pairs_mode)
     starts, lens = [], []
     at_risk = jnp.zeros((m,), dtype=bool)
+    # one 2-wide-slice gather per probe fetches offsets[bk] and
+    # offsets[bk+1] together — each [M] gather on this device costs
+    # ~1.8 ms in row latency regardless of width, so halving the
+    # gather count halves the geometry stage (28 -> ~14 ms at M=2^17)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
     for i, (a, b) in enumerate(pairs):
         w_a = jax.lax.dynamic_slice_in_dim(stream, a, m)
         w_b = jax.lax.dynamic_slice_in_dim(stream, b, m)
         bk = _bucket_ids(w_a, w_b, jnp.uint32(salts[i]), num_buckets)
-        start = offsets[i, bk]
-        full = offsets[i, bk + 1] - start
+        o2 = jax.lax.gather(
+            offsets[i], bk[:, None], dn, slice_sizes=(2,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )                                            # [M, 2]
+        start = o2[:, 0]
+        full = o2[:, 1] - start
         at_risk = jnp.logical_or(at_risk, full > cap)
         starts.append(start)
         lens.append(jnp.minimum(full, cap))
@@ -445,9 +456,11 @@ def _flat_impl(
     m_queries = max(1, stream.shape[0] - n + 1)
     p = len(_pairs_for(n, pairs_mode))
     slack = max(2, -(-p // 3))  # ~2x expected noise pairs (P/load)
-    pair_budget = 1024
-    while pair_budget < slack * m_queries + 8 * max_out:
-        pair_budget *= 2
+    # quarter-pow2 ladder (<=25% overshoot, <=4 shapes/octave): every
+    # [E]-sized op below — stream recovery, gathers, the 3-key ranking
+    # sort — scales with E, so a pow2 round-up of e.g. 786k -> 2^20
+    # was paying 33% on every stage for budget that is never touched
+    pair_budget = _next_qpow2(slack * m_queries + 8 * max_out, 1024)
 
     if impl == "gather":
         cand, ok, at_risk = probe_candidates(
@@ -491,7 +504,11 @@ def _flat_impl(
         seg = jnp.clip(seg, 0, ln_flat.shape[0] - 1)
         row = (seg // p).astype(jnp.int32)
         probe_i = seg % p
-        epos = start_flat[seg] + (e_iota - out_start[seg])
+        # epos = start[seg] + (e - out_start[seg]); gathering the
+        # precomputed delta = start - out_start costs ONE [E] row-
+        # latency-bound gather instead of two
+        delta = start_flat - out_start
+        epos = e_iota + delta[seg]
         ecols = entries.shape[1]
         sid = entries.reshape(-1)[
             probe_i * ecols + jnp.clip(epos, 0, ecols - 1)
