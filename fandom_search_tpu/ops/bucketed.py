@@ -75,6 +75,7 @@ import numpy as np
 from fandom_search_tpu.config import BucketedConfig, ShingleConfig
 from fandom_search_tpu.data.hashing import fmix32
 from fandom_search_tpu.ops.distance_topk import pad_rows
+from fandom_search_tpu.ops.scan import scan1d_i32
 from fandom_search_tpu.ops.lsh import rerank_exact
 
 _I32_MAX = np.int32(2**31 - 1)
@@ -488,7 +489,7 @@ def _flat_impl(
             ln = jnp.where(at_risk[:, None], 0, ln)
         ln_flat = ln.reshape(-1)                     # [M*P]
         start_flat = start.reshape(-1)
-        csum = jnp.cumsum(ln_flat)
+        csum = scan1d_i32(ln_flat)
         pair_count = csum[-1]                        # pre-dedup mass
         out_start = csum - ln_flat                   # exclusive scan
         # one marker per segment START (empty segments included: their
@@ -499,7 +500,7 @@ def _flat_impl(
             jnp.minimum(out_start, pair_budget - 1)
         ].add(1, mode="drop")
         e_iota = jnp.arange(pair_budget, dtype=jnp.int32)
-        seg = jnp.cumsum(adds) - 1                   # [E] segment id
+        seg = scan1d_i32(adds) - 1                   # [E] segment id
         valid = e_iota < pair_count
         seg = jnp.clip(seg, 0, ln_flat.shape[0] - 1)
         row = (seg // p).astype(jnp.int32)
@@ -557,9 +558,9 @@ def _flat_impl(
         ]
     )
     keep2 = jnp.logical_and(row_s < big, jnp.logical_not(dup))
-    c_inc = jnp.cumsum(keep2.astype(jnp.int32))
+    c_inc = scan1d_i32(keep2.astype(jnp.int32))
     c_exc = c_inc - keep2.astype(jnp.int32)
-    seg_start = jax.lax.cummax(jnp.where(first, iota, 0))
+    seg_start = scan1d_i32(jnp.where(first, iota, 0), "max")
     rank = c_exc - jnp.take(c_exc, seg_start)
     topk_keep = jnp.logical_and(keep2, rank < k)
     final_count = jnp.sum(topk_keep.astype(jnp.int32))

@@ -36,6 +36,7 @@ from fandom_search_tpu.ops.embed import embed_shingles_pallas_t
 from fandom_search_tpu.data.tokenizer import Tokenized
 from fandom_search_tpu.data.fast_tokenizer import tokenize_many
 from fandom_search_tpu.ops.distance_topk import NEG_INF, pad_rows, topk_dot_pallas
+from fandom_search_tpu.ops.scan import scan1d_i32
 from fandom_search_tpu.ops.smith_waterman import sw_normalized_jnp, sw_normalized_pallas
 from fandom_search_tpu.search.chain import chain_hits_arrays
 from fandom_search_tpu.search.common import line_segment
@@ -909,7 +910,7 @@ def nonzero_compact(mask, size: int):
     ``size`` drop (the callers detect overflow via a separate count).
     """
     m = mask.ravel()
-    csum = jnp.cumsum(m.astype(jnp.int32))
+    csum = scan1d_i32(m.astype(jnp.int32))
     src = jnp.arange(m.shape[0], dtype=jnp.int32)
     # Selected slots within budget target csum-1 (unique, in bounds);
     # every other slot targets size+src — unique AND out of bounds, so
