@@ -49,24 +49,27 @@ masks ARE comparisons.  The path is kept behind ``state="i16"`` for
 future toolchains; f32 remains the default.
 All-padding tiles skip the wavefront via a pl.when gate.
 
-Round-3 restructurings (variant="fast"; variant="r2" is the round-2
-shape and the DEFAULT — the device A/B went the other way):
+Round-3 restructurings (variant="fast", the DEFAULT after the final
+A/B; variant="r2" is the round-2 shape, kept as the control):
   * double-buffered DP state — hprev/hpp swap ROLES per step instead
     of copying (deletes 2 full-tile VMEM stores from every step);
   * dynamic trip count — the wavefront runs to the tile's actual
     max(len_a+len_b)-1 diagonal, not the static la+lb-1, via a
     static-trip loop whose tail steps skip under pl.when.
-Device verdict (scripts/sw_ab.py, interleaved on TPU 2026-08-19,
-with the engine's length-sorted homogeneous tiles): fast is x0.88
-(full-length), x0.99 (engine-realistic short lines), x0.86 (mixed) —
-i.e. a LOSS everywhere: the per-step pl.when gate + role-swap select
-overhead exceeds both the deleted stores and the skipped tail
-diagonals at tile_b=256.  Rejected restructuring (f); the variant
-stays available for re-measurement on future toolchains.  The engine
-keeps the verify-batch length sort regardless: homogeneous tiles are
-what let r2's static trip count stay near the true work bound.
+Device verdict (scripts/sw_ab.py, interleaved on TPU, two multi-round
+sessions 2026-08-19 PM after the tail-skip rework): fast is x1.11
+(full-length), x1.11-1.12 (engine-realistic short lines), x1.05-1.12
+(mixed) — a consistent WIN; an earlier same-day A/B taken on the
+pre-rework fast shape measured x0.86-0.99 and is superseded.  A third
+shape, variant="dyn" (r2 copy body + a genuinely dynamic fori_loop
+bound — scf.while — instead of the pl.when tail skip), compiles and
+is exact but LOSES to fast everywhere (x0.85-1.09 vs r2, always below
+fast): the while-loop bound costs more per step than gating the
+unrolled body.  Rejected restructuring (f); kept for A/B.  The engine
+keeps the verify-batch length sort either way: homogeneous tiles are
+what let the per-tile trip bound hug the true work bound.
 The r2 op count per step is 3 lane-rolls + ~12 elementwise + 3
-stores.
+stores; fast deletes 2 of the stores.
 """
 
 from __future__ import annotations
@@ -289,7 +292,7 @@ def _sw_kernel(
             h = jnp.maximum(h, zero)
             h = jnp.where(valid, h, zero)
             best_ref[:] = jnp.maximum(best_ref[:], h)
-            if variant == "r2":
+            if variant in ("r2", "dyn"):
                 pp_ref[:] = h_prev
                 prev_ref[:] = h
             else:
@@ -313,7 +316,7 @@ def _sw_kernel(
         def diags(it):
             for u in range(unroll):
                 d = unroll * it + u
-                if variant == "r2" or u % 2 == 0:
+                if variant != "fast" or u % 2 == 0:
                     one_diag(d, hprev_ref, hpp_ref)
                 else:
                     one_diag(d, hpp_ref, hprev_ref)
@@ -337,6 +340,28 @@ def _sw_kernel(
             def step_u(it, _):
                 diags(it)
                 return 0
+
+            jax.lax.fori_loop(0, static_iters, step_u, 0)
+        elif variant == "dyn":
+            # variant="dyn" (round-3, second attempt): same copy-based
+            # body as r2, but the fori_loop BOUND itself is the tile's
+            # real diagonal count — a traced scalar, lowering to a
+            # hardware while loop — instead of "fast"'s static-trip
+            # loop with a per-step pl.when tail skip (whose gate cost
+            # ate the skipped work, x0.86-0.99).  Diagonals past every
+            # pair's len_a+len_b-1 are phantom no-ops either way, so
+            # stopping at the max is exact.
+            needed = jnp.max(len_a + len_b) - 1
+
+            def step_u(it, _):
+                diags(it)
+                return 0
+
+            dyn_iters = jnp.minimum(
+                (needed + (unroll - 1)) // unroll,
+                jnp.int32(static_iters),
+            )
+            jax.lax.fori_loop(0, dyn_iters, step_u, 0)
         else:
             needed = jnp.max(len_a + len_b) - 1  # real diagonal count
 
@@ -344,7 +369,7 @@ def _sw_kernel(
                 pl.when(it * unroll < needed)(lambda: diags(it))
                 return 0
 
-        jax.lax.fori_loop(0, static_iters, step_u, 0)
+            jax.lax.fori_loop(0, static_iters, step_u, 0)
         denom = match * jnp.maximum(
             1, jnp.minimum(len_a, len_b)
         ).astype(jnp.float32)
@@ -365,12 +390,14 @@ def _sw_kernel(
 )
 def _sw_pallas_call(
     a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret,
-    unroll=2, state="f32", variant="r2",
+    unroll=2, state="f32", variant="fast",
 ):
     bsz, la = a.shape
     lb = b.shape[1]
-    if variant not in ("fast", "r2"):
-        raise ValueError(f"variant must be 'fast' or 'r2', got {variant!r}")
+    if variant not in ("fast", "r2", "dyn"):
+        raise ValueError(
+            f"variant must be 'fast', 'r2' or 'dyn', got {variant!r}"
+        )
     if variant == "fast" and unroll % 2:
         # the double-buffered DP state swaps hprev/hpp roles per step;
         # an even unroll returns the roles to canonical each iteration
@@ -436,15 +463,17 @@ def sw_normalized_pallas(
     interpret: bool = False,
     unroll: int = 2,
     state: str = "f32",
-    variant: str = "r2",
+    variant: str = "fast",
 ):
     """Normalized SW scores for a batch of pairs. Pads batch to tile_b.
 
-    ``variant``: "r2" (default) = the round-2 copy-based kernel with
-    the static trip count; "fast" = double-buffered DP state + dynamic
-    trip count — measured SLOWER on device (x0.86-0.99, scripts/
-    sw_ab.py 2026-08-19; rejected restructuring (f) in the module
-    doc), kept for interleaved A/Bs on future toolchains."""
+    ``variant``: "fast" (default) = double-buffered DP state + dynamic
+    trip count via pl.when tail skip — x1.05-1.12 vs r2 on device
+    across all three length regimes (scripts/sw_ab.py 2026-08-19 PM,
+    two interleaved sessions); "r2" = the round-2 copy-based kernel
+    with the static trip count, kept as the A/B control; "dyn" = r2
+    body with a real dynamic fori_loop bound, measured slower than
+    fast everywhere (module doc, rejected restructuring (f))."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     len_a = jnp.asarray(len_a, jnp.int32).reshape(-1, 1)

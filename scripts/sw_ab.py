@@ -60,7 +60,7 @@ def main():
         "real": (la_real, lb_real),
         "mixed": (la_mixed, lb_mixed),
     }
-    variants = ["fast", "r2"]
+    variants = ["fast", "r2", "dyn"]
 
     def run(variant, la, lb):
         return sw_normalized_pallas(a, b, la, lb, cfg, variant=variant)
@@ -71,7 +71,8 @@ def main():
     # correctness cross-check + warm
     for name, (la, lb) in regimes.items():
         outs = [np.asarray(run(v, la, lb)) for v in variants]
-        assert np.array_equal(outs[0], outs[1]), f"variant mismatch ({name})"
+        for o, v in zip(outs[1:], variants[1:]):
+            assert np.array_equal(outs[0], o), f"variant mismatch ({name}:{v})"
     print("variant parity OK across regimes", flush=True)
 
     best = {(n, v): float("inf") for n in regimes for v in variants}
@@ -90,13 +91,15 @@ def main():
             for n in regimes for v in variants
         ), flush=True)
 
-    cells = B * w * mlt  # nominal cells (padded): same for both variants
-    print("\nBEST (nominal G cells/s over the padded shape):")
+    cells = B * w * mlt  # nominal cells (padded): same for all variants
+    print("\nBEST (nominal G cells/s over the padded shape, vs r2):")
     for name in regimes:
-        f, r2 = best[(name, "fast")], best[(name, "r2")]
-        print(f"  {name:5s}: fast {f*1e3:6.1f}ms ({cells/f/1e9:5.2f} G) | "
-              f"r2 {r2*1e3:6.1f}ms ({cells/r2/1e9:5.2f} G) | "
-              f"fast is x{r2/f:.2f}")
+        r2 = best[(name, "r2")]
+        print(f"  {name:5s}: " + " | ".join(
+            f"{v} {best[(name, v)]*1e3:6.1f}ms "
+            f"({cells/best[(name, v)]/1e9:5.2f} G, x{r2/best[(name, v)]:.2f})"
+            for v in variants
+        ))
 
     # i16 re-attempt (expected to fail compile on v5e — see module doc)
     try:

@@ -133,7 +133,7 @@ def test_fast_variant_matches_r2_and_numpy(rng):
     len_a[32:] = rng.integers(5, 15, size=32)
     len_a[40], len_b[40] = a.shape[1], b.shape[1]
     want = _np_scores(a, b, len_a, len_b)
-    for variant in ("fast", "r2"):
+    for variant in ("fast", "r2", "dyn"):
         got = np.asarray(
             sw_normalized_pallas(
                 a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
