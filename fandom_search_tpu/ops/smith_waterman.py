@@ -459,7 +459,12 @@ def sw_normalized_pallas(
     len_b,
     cfg: SearchConfig,
     *,
-    tile_b: int = 256,
+    # tile_b=128 over 256: with the engine's length-sorted batches the
+    # per-tile dynamic trip bound is what matters, and halving the tile
+    # halves the length spread a tile's longest pair pins on the rest —
+    # device sweep (scripts note, 2026-08-19): sorted-real 12.6 ms @128
+    # vs 13.2-16.8 @256, 15.2 @64 (grid overhead), 13.3 @512/1024
+    tile_b: int = 128,
     interpret: bool = False,
     unroll: int = 2,
     state: str = "f32",
