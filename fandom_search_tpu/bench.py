@@ -533,6 +533,13 @@ def main(argv=None) -> int:
     big_ns = int(os.environ.get("BENCH_BIG_NS", 1 << 20))
     if big_ns:
         measure_bucketed(big_ns, nq, "bucketed_big")
+    # the 2^22 regime is where sub-linearity pays hardest (probe: x11
+    # vs exact at 2^22/2^18, BASELINE.md round-3 rows); capture it in
+    # the driver artifact too, healthy backends only (a degraded CPU
+    # capture would burn hours here for a number nobody reads)
+    huge_ns = int(os.environ.get("BENCH_HUGE_NS", 1 << 22))
+    if huge_ns and not probe_note:
+        measure_bucketed(huge_ns, nq, "bucketed_huge")
 
     # ---- config #5c: HYBRID bucketed on a Zipf-skewed vocabulary --------
     # Real text is Zipfian; hot word-pair buckets overflow cap and the
