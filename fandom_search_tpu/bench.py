@@ -548,7 +548,7 @@ def main(argv=None) -> int:
     # the exact kernel; this config attests recall restoration and the
     # rerouted fraction in the standard capture.
     zipf_ns = int(os.environ.get(
-        "BENCH_ZIPF_NS", 0 if probe_note else 1 << 18
+        "BENCH_ZIPF_NS", 0 if probe_note else 1 << 20
     ))
     if zipf_ns:
         from fandom_search_tpu.ops.bucketed import (
@@ -657,7 +657,7 @@ def main(argv=None) -> int:
     # so the only unreachable exact-top-k entries are pure embedding-
     # noise (<=1 true matching positions — SW-rejected downstream).
     eng_ns = int(os.environ.get(
-        "BENCH_ENGLISH_NS", 0 if probe_note else 1 << 18
+        "BENCH_ENGLISH_NS", 0 if probe_note else 1 << 20
     ))
     if eng_ns:
         import dataclasses as _dc
