@@ -60,19 +60,28 @@ def main():
     ns, nq = 1 << log2_ns, 1 << log2_nq
     rng = np.random.default_rng(0)
 
+    # ONE vocab shared by the script and query streams.  The original
+    # probe drew a FRESH random vocab inside each stream_of call, so
+    # the 99% noise portion of the query stream shared no words with
+    # the index — every noise probe hashed to a cold bucket and the
+    # measured at-risk fraction was ~0.5-7% where the bench's shared-
+    # vocab corpora (the realistic case: fanfic speaks the script's
+    # language) measure ~7-99%.  Quantified host-side 2026-08-19:
+    # identical index overflow (0.56%), at-risk 0.1% (disjoint vocab)
+    # vs 6.4-6.9% (shared vocab) on english-skew at 2^18.
+    zipf_vocab = rng.integers(0, 2**32, size=50000, dtype=np.uint32)
+    eng_vocab = rng.integers(0, 2**32, size=1 << 19, dtype=np.uint32)
+
     def stream_of(tokens):
         if zipf:
             # Zipf-ish word distribution over a 50k vocab: hot bigrams
             # exist, stressing the bucket cap
             ranks = rng.zipf(1.3, size=tokens) % 50000
-            vocab = rng.integers(0, 2**32, size=50000, dtype=np.uint32)
-            return vocab[ranks]
+            return zipf_vocab[ranks]
         if english:
             # English-like skew (bench #5d): top word ~2.6% of tokens
-            v = 1 << 19
-            ranks = rng.zipf(1.01, size=tokens) % v
-            vocab = rng.integers(0, 2**32, size=v, dtype=np.uint32)
-            return vocab[ranks]
+            ranks = rng.zipf(1.01, size=tokens) % (1 << 19)
+            return eng_vocab[ranks]
         return rng.integers(0, 2**32, size=tokens, dtype=np.uint32)
 
     t0 = time.perf_counter()
