@@ -295,9 +295,15 @@ def _probe_geometry(
     it never materializes the [M, P*cap] candidate matrix (~97%
     padding at healthy load factors), whose gather + row-sort + dedup
     dominated probe_candidates' device time (78.5 ms of the 139 ms
-    flat chain at NS=2^20/M=2^17, scripts/flat_stages.py 2026-08-19)."""
+    flat chain at NS=2^20/M=2^17, scripts/flat_stages.py 2026-08-19).
+
+    Same m = max(0, ...) convention as probe_candidates (round-3
+    advisor low): a degenerate stream shorter than the shingle width
+    yields zero query rows in BOTH impls, and the flat entry points
+    reject it outright (_flat_impl precondition) so the impls can
+    never diverge on it."""
     t = stream.shape[0]
-    m = max(1, t - n + 1)
+    m = max(0, t - n + 1)
     pairs = _pairs_for(n, pairs_mode)
     starts, lens = [], []
     at_risk = jnp.zeros((m,), dtype=bool)
@@ -418,6 +424,45 @@ def bucketed_candidates_flat(
     return out
 
 
+def _seg_stream(ln_flat, start_flat, pair_budget):
+    """Recover each flat slot's segment id and entry position from the
+    clipped per-(query, probe) bucket lengths.
+
+    Returns (seg [E], epos [E], valid [E], pair_count scalar) where
+    slot e of the [pair_budget]-wide stream belongs to flat segment
+    seg[e] and reads entry column epos[e].
+
+    One marker per segment START is scattered into the budget and
+    cumsum-recovered (empty segments included: their markers pile onto
+    the next start, so the inclusive cumsum skips them).  The marker
+    buffer carries ONE spare slot sliced off before the scan: a
+    segment starting exactly AT the budget boundary — pair mass equal
+    to the budget with trailing empty segments — must park its marker
+    in the spare, not clip onto the budget's last REAL slot, or that
+    still-valid slot resolves to the wrong segment and emits a bogus
+    candidate while dropping the true last pair (round-3 advisor
+    finding; pinned by test_seg_stream_exact_fill).  Starts beyond the
+    budget also land in the spare, which only matters in the
+    overflow-retry regime where the returned count triggers a budget
+    regrow anyway."""
+    csum = scan1d_i32(ln_flat)
+    pair_count = csum[-1]                        # pre-dedup mass
+    out_start = csum - ln_flat                   # exclusive scan
+    adds = jnp.zeros((pair_budget + 1,), jnp.int32).at[
+        jnp.minimum(out_start, pair_budget)
+    ].add(1, mode="drop")[:pair_budget]
+    e_iota = jnp.arange(pair_budget, dtype=jnp.int32)
+    seg = scan1d_i32(adds) - 1                   # [E] segment id
+    valid = e_iota < pair_count
+    seg = jnp.clip(seg, 0, ln_flat.shape[0] - 1)
+    # epos = start[seg] + (e - out_start[seg]); gathering the
+    # precomputed delta = start - out_start costs ONE [E] row-
+    # latency-bound gather instead of two
+    delta = start_flat - out_start
+    epos = e_iota + delta[seg]
+    return seg, epos, valid, pair_count
+
+
 def _flat_impl(
     stream, q_emb, entries, offsets, s_emb_padded, *,
     n, cap, num_buckets, salts, k, dim, threshold, max_out, pairs_mode,
@@ -454,7 +499,16 @@ def _flat_impl(
     the same budget, conservative in the same direction (retry)."""
     from fandom_search_tpu.search.engine import nonzero_compact
 
-    m_queries = max(1, stream.shape[0] - n + 1)
+    if stream.shape[0] < n:
+        # Precondition (static shape): at least one query shingle must
+        # exist.  Without this, the seg impl's geometry scans would run
+        # over zero segments while the gather impl emits an empty
+        # matrix — reject loudly instead of letting the impls diverge.
+        raise ValueError(
+            f"query stream of {stream.shape[0]} tokens is shorter than "
+            f"the shingle width n={n}; no query shingles exist"
+        )
+    m_queries = stream.shape[0] - n + 1
     p = len(_pairs_for(n, pairs_mode))
     slack = max(2, -(-p // 3))  # ~2x expected noise pairs (P/load)
     # quarter-pow2 ladder (<=25% overshoot, <=4 shapes/octave): every
@@ -489,27 +543,11 @@ def _flat_impl(
             ln = jnp.where(at_risk[:, None], 0, ln)
         ln_flat = ln.reshape(-1)                     # [M*P]
         start_flat = start.reshape(-1)
-        csum = scan1d_i32(ln_flat)
-        pair_count = csum[-1]                        # pre-dedup mass
-        out_start = csum - ln_flat                   # exclusive scan
-        # one marker per segment START (empty segments included: their
-        # markers pile onto the next start, so the inclusive cumsum
-        # skips them); starts beyond the budget clip onto the last
-        # slot, which only matters in the overflow-retry regime
-        adds = jnp.zeros((pair_budget,), jnp.int32).at[
-            jnp.minimum(out_start, pair_budget - 1)
-        ].add(1, mode="drop")
-        e_iota = jnp.arange(pair_budget, dtype=jnp.int32)
-        seg = scan1d_i32(adds) - 1                   # [E] segment id
-        valid = e_iota < pair_count
-        seg = jnp.clip(seg, 0, ln_flat.shape[0] - 1)
+        seg, epos, valid, pair_count = _seg_stream(
+            ln_flat, start_flat, pair_budget
+        )
         row = (seg // p).astype(jnp.int32)
         probe_i = seg % p
-        # epos = start[seg] + (e - out_start[seg]); gathering the
-        # precomputed delta = start - out_start costs ONE [E] row-
-        # latency-bound gather instead of two
-        delta = start_flat - out_start
-        epos = e_iota + delta[seg]
         ecols = entries.shape[1]
         sid = entries.reshape(-1)[
             probe_i * ecols + jnp.clip(epos, 0, ecols - 1)

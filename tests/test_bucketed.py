@@ -606,3 +606,62 @@ def test_seg_impl_matches_gather_impl(rng, pairs_mode):
     for a, b in zip(hy_seg, hy_gat):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(hy_seg[5]) > 0  # the splice produced at-risk rows
+
+
+def test_seg_stream_exact_fill():
+    """Pair mass exactly equal to the budget with trailing EMPTY
+    segments (round-3 advisor medium): the trailing empties' markers
+    must park in the spare marker slot, not clip onto the budget's
+    last real slot — otherwise slot budget-1 resolves to the wrong
+    segment (bogus candidate emitted, true last pair dropped) and no
+    retry fires because the mass does not exceed the budget."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import _seg_stream
+
+    ln = jnp.asarray([3, 2, 0, 0], jnp.int32)
+    start = jnp.asarray([100, 200, 300, 400], jnp.int32)
+    seg, epos, valid, pair_count = _seg_stream(ln, start, pair_budget=5)
+    assert int(pair_count) == 5
+    np.testing.assert_array_equal(np.asarray(seg), [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(
+        np.asarray(epos), [100, 101, 102, 200, 201]
+    )
+    assert bool(np.asarray(valid).all())
+
+    # overflow regime unchanged: mass beyond the budget still reports
+    # pair_count > budget so the engine's regrow retry fires
+    seg2, _, valid2, pc2 = _seg_stream(
+        jnp.asarray([4, 3], jnp.int32), jnp.asarray([0, 50], jnp.int32),
+        pair_budget=5,
+    )
+    assert int(pc2) == 7 > 5
+    assert bool(np.asarray(valid2).all())
+    np.testing.assert_array_equal(np.asarray(seg2), [0, 0, 0, 0, 1])
+
+
+def test_flat_path_rejects_degenerate_stream(rng):
+    """A query stream shorter than the shingle width has zero query
+    shingles; both flat impls must reject it identically instead of
+    diverging on fabricated rows (round-3 advisor low)."""
+    import jax.numpy as jnp
+
+    from fandom_search_tpu.ops.bucketed import bucketed_candidates_flat
+
+    q_stream, s_stream = _world(rng, nq=64, ns=500)
+    windows = shingle_hashes(s_stream, SCFG)
+    q_emb = embed_shingles_np(q_stream, SCFG)
+    s_pad, _ = pad_rows(embed_shingles_np(s_stream, SCFG), 512)
+    bidx = BucketedIndex.build(windows, BCFG, SCFG)
+    kw = dict(
+        n=SCFG.n, cap=BCFG.cap, num_buckets=bidx.num_buckets,
+        salts=bidx.salts, k=K, dim=DIM,
+        threshold=CFG.search.candidate_threshold, max_out=1024,
+    )
+    for impl in ("seg", "gather"):
+        with pytest.raises(ValueError, match="shorter than the shingle"):
+            bucketed_candidates_flat(
+                jnp.asarray(q_stream[: SCFG.n - 1]), jnp.asarray(q_emb),
+                bidx.entries, bidx.offsets, jnp.asarray(s_pad),
+                impl=impl, **kw,
+            )
