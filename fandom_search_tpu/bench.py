@@ -12,37 +12,70 @@ Covers every BASELINE.json benchmark config (see BASELINE.md):
      exercised on a virtual 8-device CPU mesh by tests + the driver's
      dryrun_multichip)
   #5 LSH prefilter build + query with measured recall@10 vs the exact
-     kernel
+     kernel, plus the sub-linear bucketed configs (uniform 2^20/2^22,
+     zipf and english-like skew hybrids at 2^20, english at 2^22 — the
+     realistic-skew regime where the hybrid wins wall-clock) and an
+     end-to-end row-parity attestation of the bucketed engine path
 
 plus recall@10 of the exact kernel vs the NumPy oracle (must be 1.0)
 and an end-to-end corpus run (default 10k fanworks vs one script) with
 an honestly extrapolated CPU-oracle wall-clock for e2e_speedup_vs_cpu.
 
+CRASH-PROOF CAPTURE (VERDICT r3 #1).  The process the driver invokes
+is a SUPERVISOR: the capture itself runs in a child process that
+checkpoints `bench_details.partial.json` after every stage.  If the
+child crashes mid-run (the tunnel's observed mid-run
+`FAILED_PRECONDITION` backend faults) or hangs (watchdog on output
+inactivity), the supervisor re-probes the device and relaunches the
+child, which RESUMES from the first incomplete stage; a second death
+relaunches pinned to the CPU backend so the remaining stages complete
+degraded rather than not at all.  The supervisor ALWAYS emits the
+one-line JSON — carrying whatever healthy numbers were captured before
+any fault — with `backend`, `degraded`, and (when a fault occurred) a
+`fault` field, and exits 0.  A recovered transient fault keeps
+`degraded=false`: every recorded stage still ran on the original
+backend; `fault` records the incident.
+
 The one stdout line reports the primary BASELINE.json:2 metric,
 shingle-pairs/sec through the engine-mode kernel, and always carries
-`backend` ("tpu"/"cpu") and `degraded` (true when the capture ran on
-the CPU fallback) so a blocked-tunnel bench can never pose as a TPU
+`backend` ("tpu"/"cpu") and `degraded` (true when any stage ran on the
+CPU fallback) so a blocked-tunnel bench can never pose as a TPU
 record; everything else goes to stderr + bench_details.json.
 
-Env knobs: BENCH_NQ, BENCH_NS, BENCH_CPU_NQ, BENCH_E2E_WORKS,
-BENCH_CPU_E2E_WORKS, BENCH_SKIP_E2E=1, BENCH_NO_PROBE=1 (skip the
-hung-tunnel device probe), BENCH_PROBE_TIMEOUT (seconds, default 120),
+Env knobs: BENCH_NQ, BENCH_NS, BENCH_CPU_NQ, BENCH_SW_B, BENCH_E2E_WORKS,
+BENCH_CPU_E2E_WORKS, BENCH_SKIP_E2E=1, BENCH_BIG_NS, BENCH_HUGE_NS,
+BENCH_ZIPF_NS, BENCH_ENGLISH_NS, BENCH_ENGLISH_HUGE_NS,
+BENCH_SCALE_WORKS, BENCH_NO_PROBE=1 (skip the hung-tunnel device
+probe), BENCH_PROBE_TIMEOUT (seconds, default 120),
+BENCH_WATCHDOG_S (supervisor kills a child silent this long, 900),
+BENCH_CPU=1 (pin the CPU backend without flagging the capture
+degraded — dev/test knob; size via the other knobs),
 BENCH_FORCE_DEGRADED=1 (simulate an outage: CPU fallback + degraded
 flag, for testing the capture contract),
-BENCH_QUICK=1 (or --quick):
-kernel-only regression check against bench_expected.json (fails the
-process if the rate drops below 85% of the recorded best).
+BENCH_FAULT_STAGE / BENCH_FAULT_MODE=once|always|tpu_only|hang_once /
+BENCH_FAULT_SENTINEL (fault injection inside a named stage, for
+testing the supervisor's recovery path),
+BENCH_QUICK=1 (or --quick): kernel-only regression check against
+bench_expected.json (fails the process if the rate drops below 80% of
+the recorded best; refresh policy: re-record from every committed
+healthy full-capture snapshot).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
 import numpy as np
+
+PARTIAL_NAME = "bench_details.partial.json"
+FINAL_NAME = "bench_details.json"
 
 
 def log(*a):
@@ -73,18 +106,24 @@ def _time(jnp, fn, iters=10, rounds=3):
     return best
 
 
-def driver_line(metric, value, unit, vs_baseline, platform, degraded):
+def driver_line(metric, value, unit, vs_baseline, platform, degraded,
+                fault=None):
     """The ONE stdout JSON line the driver parses.
 
     `backend`/`degraded` are part of the contract (VERDICT r2 #2): a
     CPU-fallback capture must be distinguishable from a TPU record in
     BENCH_r*.json itself, not just in stderr / bench_details.json.
+    `fault` (VERDICT r3 #1) records mid-run backend faults the
+    supervisor recovered from, even when every number is healthy.
     """
-    return {
+    out = {
         "metric": metric, "value": value, "unit": unit,
         "vs_baseline": vs_baseline,
         "backend": platform, "degraded": bool(degraded),
     }
+    if fault:
+        out["fault"] = fault
+    return out
 
 
 def _recall_by_score(want_vals, got_vals, dim, k):
@@ -133,33 +172,236 @@ def make_e2e_world(rng, n_works: int):
     return lines, index, works, cfg
 
 
+# --------------------------------------------------------------------------
+# Supervisor: the process the driver invokes.  Owns the device probe,
+# child lifecycle, fault recovery, and the canonical stdout line.
+# --------------------------------------------------------------------------
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    quick = "--quick" in argv or os.environ.get("BENCH_QUICK")
+    if os.environ.get("BENCH_SUPERVISED"):
+        return run_capture(argv)
+    return supervise(argv)
 
-    # The axon tunnel has outage windows (0.5-4h, observed 2026-08-17)
-    # during which backend init HANGS rather than errors.  Probe device
-    # enumeration first (shared helper: utils/device_probe.py — timed
-    # subprocess, short-circuited when a backend is live or the
-    # jax_platforms CONFIG is already "cpu"; the JAX_PLATFORMS env var
-    # is deliberately not trusted, the axon plugin ignores it); on a
-    # hung or failed probe fall back to CPU so the bench still emits
-    # its one JSON line (flagged in details) instead of a dead capture.
-    from fandom_search_tpu.utils.device_probe import (
-        fallback_to_cpu, probed_device_count,
+
+def _load_details(path: Path):
+    try:
+        return json.loads(path.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def _run_child(argv, env, watchdog_s):
+    """Run one capture attempt; returns (rc, watchdog_killed).
+
+    Liveness = any stderr/stdout output.  The child logs at every stage
+    boundary, so a silence longer than the watchdog means the tunnel's
+    hang failure mode, not slow work.
+    """
+    pkg_root = str(Path(__file__).resolve().parent.parent)
+    env = dict(env)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [pkg_root] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                      if p]
     )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "fandom_search_tpu.bench", *argv],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env, start_new_session=True,
+    )
+    last = [time.monotonic()]
+
+    def pump(stream, forward):
+        for line in stream:
+            last[0] = time.monotonic()
+            if forward:
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+    terr = threading.Thread(target=pump, args=(proc.stderr, True),
+                            daemon=True)
+    tout = threading.Thread(target=pump, args=(proc.stdout, False),
+                            daemon=True)
+    terr.start()
+    tout.start()
+    killed = False
+    while proc.poll() is None:
+        if time.monotonic() - last[0] > watchdog_s:
+            log(f"supervisor: no child output for {watchdog_s}s; "
+                "killing the hung capture")
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError, OSError):
+                proc.kill()
+            killed = True
+            break
+        time.sleep(0.5)
+    rc = proc.wait()
+    terr.join(timeout=5)
+    tout.join(timeout=5)
+    return rc, killed
+
+
+def supervise(argv) -> int:
+    quick = "--quick" in argv or bool(os.environ.get("BENCH_QUICK"))
+    partial = Path.cwd() / PARTIAL_NAME
+    partial.unlink(missing_ok=True)
+    watchdog_s = int(os.environ.get("BENCH_WATCHDOG_S", 900))
+
+    from fandom_search_tpu.utils.device_probe import probed_device_count
+
+    # Probe once up front (init-hang outage mode).  BENCH_FORCE_DEGRADED
+    # and BENCH_CPU are handled inside the child; re-probing after a
+    # mid-run fault happens below.
+    forced_cpu = False
+    if not (os.environ.get("BENCH_FORCE_DEGRADED")
+            or os.environ.get("BENCH_CPU")
+            or os.environ.get("BENCH_NO_PROBE")):
+        if probed_device_count() == 0:
+            log("supervisor: device init hung or failed; capture will "
+                "run on the CPU fallback")
+            forced_cpu = True
+
+    faults = []
+    for attempt in (1, 2, 3):
+        env = {**os.environ, "BENCH_SUPERVISED": "1"}
+        if attempt > 1:
+            env["BENCH_RESUME"] = "1"
+        if forced_cpu or attempt == 3:
+            env["BENCH_FORCED_CPU"] = "1"
+        rc, killed = _run_child(argv, env, watchdog_s)
+        details = _load_details(partial) or {}
+        if details.get("capture_complete"):
+            break
+        fault = {
+            "attempt": attempt, "rc": rc,
+            "stage": details.get("stage_started"),
+            "kind": "watchdog_hang" if killed else "crash",
+            "backend": details.get("backend"),
+        }
+        faults.append(fault)
+        log(f"supervisor: capture attempt {attempt} died in stage "
+            f"{fault['stage']!r} (rc={rc}, {fault['kind']})")
+        if attempt < 3 and not forced_cpu:
+            n = probed_device_count()
+            log(f"supervisor: device re-probe after fault -> "
+                f"{n} device(s)")
+            if n == 0:
+                forced_cpu = True
+    else:
+        log("supervisor: all capture attempts died; emitting whatever "
+            "was recorded")
+
+    details = _load_details(partial) or {}
+    if faults:
+        details["fault"] = faults
+    complete = bool(details.get("capture_complete"))
+    # degraded = any recorded stage ran on a fallback backend, or the
+    # capture never completed.  A recovered transient (all stages on
+    # the original backend) stays degraded=false with fault recorded.
+    degraded = bool(details.get("degraded")) or not complete
+    rate = float(details.get("kernel_engine_pairs_per_sec", 0.0))
+    cpu_rate = details.get("cpu_pairs_per_sec")
+    vs = round(rate / cpu_rate, 2) if cpu_rate else 0
+    backend = details.get("stage_backends", {}).get(
+        "kernel_engine", details.get("backend", "cpu"))
+    if not quick:
+        Path(FINAL_NAME).write_text(json.dumps(details, indent=2))
+        log(f"details -> {FINAL_NAME}")
+    partial.unlink(missing_ok=True)
+    print(json.dumps(driver_line(
+        "shingle_pairs_per_sec", round(rate), "pairs/s", vs,
+        backend, degraded, fault=faults or None,
+    )))
+    if complete and quick:
+        return 0 if details.get("quick_regression_ok", True) else 1
+    return 0
+
+
+def _maybe_inject_fault(name: str) -> None:
+    """Test hook (VERDICT r3 #1): die or hang inside a named stage so
+    the supervisor's recovery path is assertable without a real
+    mid-run backend fault."""
+    if os.environ.get("BENCH_FAULT_STAGE") != name:
+        return
+    mode = os.environ.get("BENCH_FAULT_MODE", "once")
+    if mode in ("once", "hang_once"):
+        sent = Path(os.environ.get("BENCH_FAULT_SENTINEL",
+                                   ".bench_fault_fired"))
+        if sent.exists():
+            return
+        sent.write_text("fired")
+    if mode == "tpu_only" and os.environ.get("BENCH_FORCED_CPU"):
+        return
+    if mode.startswith("hang"):
+        log(f"injected hang in stage {name!r} (BENCH_FAULT_STAGE)")
+        time.sleep(10 ** 6)
+    raise RuntimeError(
+        f"injected backend fault in stage {name!r} (BENCH_FAULT_STAGE)"
+    )
+
+
+class _StageRunner:
+    """Checkpointing stage executor: details flushed atomically after
+    every stage; a resumed child skips completed stages and re-derives
+    their in-memory inputs from cheap memoized providers."""
+
+    def __init__(self, path: Path, resume: bool, platform: str):
+        self.path = path
+        self.details = {}
+        self.done: list[str] = []
+        if resume:
+            prev = _load_details(path)
+            if prev:
+                prev.pop("stage_started", None)
+                self.details.update(prev)
+                self.done = list(prev.get("stages_done", []))
+                log(f"[resume] carrying {len(self.done)} completed "
+                    f"stage(s): {', '.join(self.done)}")
+        self.details["stages_done"] = self.done
+        self.platform = platform
+
+    def flush(self):
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.details, indent=2))
+        tmp.replace(self.path)
+
+    def run(self, name: str, fn) -> bool:
+        if name in self.done:
+            log(f"[resume] skipping completed stage {name}")
+            return False
+        self.details["stage_started"] = name
+        self.flush()
+        _maybe_inject_fault(name)
+        fn()
+        self.details.pop("stage_started", None)
+        self.done.append(name)
+        self.details.setdefault("stage_backends", {})[name] = self.platform
+        self.flush()
+        return True
+
+
+# --------------------------------------------------------------------------
+# The capture child.
+# --------------------------------------------------------------------------
+
+def run_capture(argv) -> int:
+    quick = "--quick" in argv or bool(os.environ.get("BENCH_QUICK"))
+    resume = bool(os.environ.get("BENCH_RESUME"))
+
+    from fandom_search_tpu.utils.device_probe import fallback_to_cpu
 
     probe_note = None
     if os.environ.get("BENCH_FORCE_DEGRADED"):
-        # Test hook: simulate a hung tunnel so the degraded-capture
-        # contract (backend/degraded in the driver line) is assertable
-        # without a real outage.
         probe_note = "forced degraded capture (BENCH_FORCE_DEGRADED)"
         fallback_to_cpu("forced degraded capture")
-    elif not os.environ.get("BENCH_NO_PROBE"):
-        if probed_device_count() == 0:
-            probe_note = "device init hung or failed; benchmarked on CPU"
-            fallback_to_cpu("device init hung or failed")
+    elif os.environ.get("BENCH_FORCED_CPU"):
+        probe_note = "supervisor forced CPU (device fault or dead tunnel)"
+        fallback_to_cpu("supervisor forced CPU capture")
+    elif os.environ.get("BENCH_CPU"):
+        # dev/test pin: CPU backend without the degraded flag — the
+        # line still says backend=cpu, so it cannot pose as TPU
+        fallback_to_cpu("BENCH_CPU backend pin")
 
     import jax
 
@@ -172,7 +414,7 @@ def main(argv=None) -> int:
     from fandom_search_tpu.config import PipelineConfig
     from fandom_search_tpu.data.shingler import embed_shingles_np
     from fandom_search_tpu.ops.distance_topk import (
-        pad_rows, topk_dot_pallas,
+        engine_tiles, pad_rows, topk_dot_pallas,
     )
     from fandom_search_tpu.search.oracle import topk_scores_np
 
@@ -212,21 +454,19 @@ def main(argv=None) -> int:
     q_emb[::100] = s_emb[rng.integers(0, ns, size=len(q_emb[::100]))]
     q_dev = jnp.asarray(q_emb)
     s_pad, ns_valid = pad_rows(jnp.asarray(s_emb), cfg.search.script_pad_multiple)
-
-    details = {"device": str(jax.devices()[0]), "backend": platform,
-               "degraded": bool(probe_note), "nq": nq, "ns": ns}
-    if probe_note:
-        details["probe_note"] = probe_note
-
-    # ---- config #2: fused distance+top-k kernel -------------------------
     # Engine mode = the layout the engine actually runs: lane-major q
     # (q_transposed), which the lane-major embed kernel emits with no
     # relayout; measured faster than the row-major contraction too.
     q_dev_t = jnp.asarray(np.ascontiguousarray(q_emb.T))
-
-    from fandom_search_tpu.ops.distance_topk import engine_tiles
-
     tq_e, ts_e = engine_tiles(nq, s_pad.shape[0])
+
+    cap = _StageRunner(Path.cwd() / PARTIAL_NAME, resume, platform)
+    d = cap.details
+    d.update({"device": str(jax.devices()[0]), "backend": platform,
+              "degraded": bool(d.get("degraded")) or bool(probe_note),
+              "nq": nq, "ns": ns})
+    if probe_note:
+        d["probe_note"] = probe_note
 
     def run_kernel(min_keep):
         return topk_dot_pallas(
@@ -234,184 +474,218 @@ def main(argv=None) -> int:
             interpret=interpret, min_keep=min_keep, q_transposed=True,
         )
 
-    dt_engine = _time(jnp, lambda: run_kernel(thr))
-    rate_engine = nq * ns / dt_engine
-    # MXU utilization vs the v5e int8 peak (~394 TOPS): each pair is
-    # dim MACs = 2*dim ops.  Context for the judge, not a target — the
-    # kernel is top-k-merge- and bandwidth-shaped, not pure matmul.
-    mfu = rate_engine * 2 * dim / 394e12
-    log(f"kernel (engine mode, min_keep={thr}, lane-major q): "
-        f"{dt_engine*1e3:.1f} ms -> {rate_engine/1e9:.2f} G pairs/s "
-        f"(~{mfu:.1%} of v5e int8 MXU peak)")
-    details["kernel_engine_pairs_per_sec"] = rate_engine
-    details["kernel_engine_mxu_utilization"] = mfu
+    _memo: dict = {}
+
+    def get_ovals():
+        """Oracle top-k on the shared noise corpus (also consumed by
+        the LSH recall stages; recomputed untimed on a resume)."""
+        if "ovals" not in _memo:
+            _memo["ovals"] = topk_scores_np(q_emb[:cpu_nq], s_emb, k, dim)
+        return _memo["ovals"]
+
+    # ---- config #2: fused distance+top-k kernel -------------------------
+    def stage_kernel_engine():
+        dt = _time(jnp, lambda: run_kernel(thr))
+        rate = nq * ns / dt
+        # MXU utilization vs the v5e int8 peak (~394 TOPS): each pair
+        # is dim MACs = 2*dim ops.  Context for the judge, not a
+        # target — the kernel is top-k-merge- and bandwidth-shaped,
+        # not pure matmul.
+        mfu = rate * 2 * dim / 394e12
+        log(f"kernel (engine mode, min_keep={thr}, lane-major q): "
+            f"{dt*1e3:.1f} ms -> {rate/1e9:.2f} G pairs/s "
+            f"(~{mfu:.1%} of v5e int8 MXU peak)")
+        d["kernel_engine_pairs_per_sec"] = rate
+        d["kernel_engine_mxu_utilization"] = mfu
+
+    cap.run("kernel_engine", stage_kernel_engine)
+    rate_engine = d["kernel_engine_pairs_per_sec"]
 
     if quick:
         expected_path = Path(__file__).with_name("bench_expected.json")
-        out = driver_line("shingle_pairs_per_sec", round(rate_engine),
-                          "pairs/s", 0, platform, probe_note)
+        ok = True
         if probe_note:
             log("CPU fallback: skipping regression compare against "
                 "TPU-recorded rates")
-            print(json.dumps(out))
-            return 0
-        if expected_path.exists():
+        elif expected_path.exists():
             exp = json.loads(expected_path.read_text())
-            floor = exp["kernel_engine_pairs_per_sec"] * 0.85
+            floor = exp["kernel_engine_pairs_per_sec"] * 0.80
             ok = rate_engine >= floor
             log(f"quick regression check: {rate_engine/1e9:.1f} G vs "
                 f"recorded {exp['kernel_engine_pairs_per_sec']/1e9:.1f} G "
-                f"(floor 85%) -> {'PASS' if ok else 'FAIL'}")
-            print(json.dumps(out))
-            return 0 if ok else 1
-        log("no bench_expected.json; skipping regression compare")
-        print(json.dumps(out))
-        return 0
+                f"(floor 80%) -> {'PASS' if ok else 'FAIL'}")
+        else:
+            log("no bench_expected.json; skipping regression compare")
+        d["quick_regression_ok"] = bool(ok)
+        d["capture_complete"] = True
+        cap.flush()
+        print(json.dumps(driver_line(
+            "shingle_pairs_per_sec", round(rate_engine), "pairs/s", 0,
+            platform, probe_note,
+        )))
+        return 0 if ok else 1
 
-    dt_exact = _time(jnp, lambda: run_kernel(-float("inf")))
-    rate_exact = nq * ns / dt_exact
-    log(f"kernel (exact top-k): {dt_exact*1e3:.1f} ms "
-        f"-> {rate_exact/1e9:.2f} G pairs/s")
-    details["kernel_exact_pairs_per_sec"] = rate_exact
+    def stage_kernel_exact():
+        dt = _time(jnp, lambda: run_kernel(-float("inf")))
+        rate = nq * ns / dt
+        log(f"kernel (exact top-k): {dt*1e3:.1f} ms "
+            f"-> {rate/1e9:.2f} G pairs/s")
+        d["kernel_exact_pairs_per_sec"] = rate
+
+    cap.run("kernel_exact", stage_kernel_exact)
 
     # ---- config #1: CPU oracle (the reference algorithm) ----------------
-    t0 = time.perf_counter()
-    ovals, _ = topk_scores_np(q_emb[:cpu_nq], s_emb, k, dim)
-    cpu_dt = time.perf_counter() - t0
-    cpu_rate = cpu_nq * ns / cpu_dt
-    log(f"CPU oracle: {cpu_nq}x{ns} in {cpu_dt:.3f}s -> "
-        f"{cpu_rate/1e6:.1f} M pairs/s")
-    details["cpu_pairs_per_sec"] = cpu_rate
-    details["speedup_kernel_vs_cpu"] = rate_engine / cpu_rate
+    def stage_cpu_oracle():
+        t0 = time.perf_counter()
+        ovals, _ = get_ovals()
+        cpu_dt = time.perf_counter() - t0
+        cpu_rate = cpu_nq * ns / cpu_dt
+        log(f"CPU oracle: {cpu_nq}x{ns} in {cpu_dt:.3f}s -> "
+            f"{cpu_rate/1e6:.1f} M pairs/s")
+        d["cpu_pairs_per_sec"] = cpu_rate
+        d["speedup_kernel_vs_cpu"] = rate_engine / cpu_rate
 
-    # recall@10 of the exact kernel vs the oracle (sanity: 1.0)
-    kvals, _ = topk_dot_pallas(
-        q_dev[:cpu_nq], s_pad, ns_valid, k, dim, interpret=interpret
-    )
-    details["kernel_recall_at_10_vs_oracle"] = _recall_by_score(
-        ovals, kvals, dim, k
-    )
-    log(f"exact-kernel recall@10 vs oracle: "
-        f"{details['kernel_recall_at_10_vs_oracle']:.4f}")
+        # recall@10 of the exact kernel vs the oracle (sanity: 1.0)
+        kvals, _ = topk_dot_pallas(
+            q_dev[:cpu_nq], s_pad, ns_valid, k, dim, interpret=interpret
+        )
+        d["kernel_recall_at_10_vs_oracle"] = _recall_by_score(
+            ovals, kvals, dim, k
+        )
+        log(f"exact-kernel recall@10 vs oracle: "
+            f"{d['kernel_recall_at_10_vs_oracle']:.4f}")
+
+    cap.run("cpu_oracle", stage_cpu_oracle)
 
     # ---- config #3: Smith-Waterman verification rate --------------------
-    from fandom_search_tpu.ops.smith_waterman import sw_normalized_pallas
+    def stage_sw():
+        from fandom_search_tpu.ops.smith_waterman import sw_normalized_pallas
 
-    B = 8192 if not probe_note else 512
-    w = cfg.search.window_tokens
-    mlt = cfg.search.max_line_tokens
-    a = rng.integers(1, 1000, size=(B, w)).astype(np.uint32)
-    b = rng.integers(1, 1000, size=(B, mlt)).astype(np.uint32)
-    la = np.full(B, w, np.int32)
-    lb = np.full(B, mlt, np.int32)
-    ad, bd = jnp.asarray(a), jnp.asarray(b)
-    dt_sw = _time(
-        jnp,
-        lambda: sw_normalized_pallas(ad, bd, la, lb, cfg.search,
-                                     interpret=interpret),
-        iters=5,
-    )
-    details["sw_pairs_per_sec"] = B / dt_sw
-    details["sw_cells_per_sec"] = B * w * mlt / dt_sw
-    log(f"SW verify: {dt_sw*1e3:.1f} ms for {B} pairs -> "
-        f"{B/dt_sw:,.0f} pairs/s ({B*w*mlt/dt_sw/1e9:.2f} G cells/s)")
+        r_sw = np.random.default_rng(5)
+        B = int(os.environ.get("BENCH_SW_B", 512 if probe_note else 8192))
+        w = cfg.search.window_tokens
+        mlt = cfg.search.max_line_tokens
+        a = r_sw.integers(1, 1000, size=(B, w)).astype(np.uint32)
+        b = r_sw.integers(1, 1000, size=(B, mlt)).astype(np.uint32)
+        la = np.full(B, w, np.int32)
+        lb = np.full(B, mlt, np.int32)
+        ad, bd = jnp.asarray(a), jnp.asarray(b)
+        dt_sw = _time(
+            jnp,
+            lambda: sw_normalized_pallas(ad, bd, la, lb, cfg.search,
+                                         interpret=interpret),
+            iters=5,
+        )
+        d["sw_pairs_per_sec"] = B / dt_sw
+        d["sw_cells_per_sec"] = B * w * mlt / dt_sw
+        log(f"SW verify: {dt_sw*1e3:.1f} ms for {B} pairs -> "
+            f"{B/dt_sw:,.0f} pairs/s ({B*w*mlt/dt_sw/1e9:.2f} G cells/s)")
+
+    cap.run("sw", stage_sw)
 
     # ---- config #4: sharded path (1-device mesh on this box) ------------
-    from fandom_search_tpu.config import MeshConfig
-    from fandom_search_tpu.parallel.mesh import make_mesh
-    from fandom_search_tpu.parallel.sharded import sharded_topk
+    def stage_sharded():
+        from fandom_search_tpu.config import MeshConfig
+        from fandom_search_tpu.parallel.mesh import make_mesh
+        from fandom_search_tpu.parallel.sharded import sharded_topk
 
-    mesh = make_mesh(MeshConfig(works=1, script=1))
-    nsv_shards = jnp.asarray([int(ns_valid)], jnp.int32)
-    # jit the wrapper: a bare sharded_topk call builds a fresh
-    # shard_map closure per call and re-traces (~45 s/call measured)
-    sharded_jit = jax.jit(
-        lambda q_, s_, n_: sharded_topk(
-            mesh, q_, s_, n_, k, dim,
-            use_pallas=use_pallas, interpret=interpret, min_keep=thr,
+        mesh = make_mesh(MeshConfig(works=1, script=1))
+        nsv_shards = jnp.asarray([int(ns_valid)], jnp.int32)
+        # jit the wrapper: a bare sharded_topk call builds a fresh
+        # shard_map closure per call and re-traces (~45 s/call measured)
+        sharded_jit = jax.jit(
+            lambda q_, s_, n_: sharded_topk(
+                mesh, q_, s_, n_, k, dim,
+                use_pallas=use_pallas, interpret=interpret, min_keep=thr,
+            )
         )
-    )
-    dt_sh = _time(jnp, lambda: sharded_jit(q_dev, s_pad, nsv_shards))
-    details["sharded_pairs_per_sec"] = nq * ns / dt_sh
-    details["sharded_note"] = (
-        "1x1 mesh on this single-chip box; works x script meshes are "
-        "validated on a virtual 8-device CPU mesh by tests/test_sharded.py "
-        "and the driver's dryrun_multichip"
-    )
-    log(f"sharded (1x1 mesh): {dt_sh*1e3:.1f} ms -> "
-        f"{nq*ns/dt_sh/1e9:.2f} G pairs/s")
+        dt_sh = _time(jnp, lambda: sharded_jit(q_dev, s_pad, nsv_shards))
+        d["sharded_pairs_per_sec"] = nq * ns / dt_sh
+        d["sharded_note"] = (
+            "1x1 mesh on this single-chip box; works x script meshes are "
+            "validated on a virtual 8-device CPU mesh by tests/"
+            "test_sharded.py and the driver's dryrun_multichip"
+        )
+        log(f"sharded (1x1 mesh): {dt_sh*1e3:.1f} ms -> "
+            f"{nq*ns/dt_sh/1e9:.2f} G pairs/s")
+
+    cap.run("sharded", stage_sharded)
 
     # ---- config #5: LSH prefilter build + query + recall@10 -------------
-    from fandom_search_tpu.ops.lsh import LSHIndex, lsh_topk
+    def stage_lsh():
+        from fandom_search_tpu.ops.lsh import (
+            LSHIndex, coarse_sim_threshold, lsh_topk,
+        )
 
-    t0 = time.perf_counter()
-    lsh = LSHIndex.build(s_emb, cfg.lsh, cfg.shingle,
-                         pad_multiple=cfg.search.script_pad_multiple)
-    _sync(jnp, lsh.codes_t)
-    details["lsh_build_seconds"] = time.perf_counter() - t0
-    dt_lsh = _time(
-        jnp,
-        lambda: lsh_topk(q_dev, lsh, s_pad, k, dim, cfg.lsh,
-                         interpret=interpret),
-        iters=3,
-    )
-    details["lsh_pairs_per_sec_equiv"] = nq * ns / dt_lsh
-    lvals, _ = lsh_topk(q_dev[:cpu_nq], lsh, s_pad, k, dim, cfg.lsh,
-                        interpret=interpret)
-    details["lsh_recall_at_10_vs_exact"] = _recall_by_score(
-        ovals, lvals, dim, k
-    )
-    log(f"LSH: build {details['lsh_build_seconds']:.2f}s, query "
-        f"{dt_lsh*1e3:.1f} ms ({nq*ns/dt_lsh/1e9:.2f} G pairs/s-equiv), "
-        f"recall@10 vs exact = {details['lsh_recall_at_10_vs_exact']:.4f}")
+        ovals, _ = get_ovals()
+        t0 = time.perf_counter()
+        lsh = LSHIndex.build(s_emb, cfg.lsh, cfg.shingle,
+                             pad_multiple=cfg.search.script_pad_multiple)
+        _sync(jnp, lsh.codes_t)
+        d["lsh_build_seconds"] = time.perf_counter() - t0
+        dt_lsh = _time(
+            jnp,
+            lambda: lsh_topk(q_dev, lsh, s_pad, k, dim, cfg.lsh,
+                             interpret=interpret),
+            iters=3,
+        )
+        d["lsh_pairs_per_sec_equiv"] = nq * ns / dt_lsh
+        lvals, _ = lsh_topk(q_dev[:cpu_nq], lsh, s_pad, k, dim, cfg.lsh,
+                            interpret=interpret)
+        d["lsh_recall_at_10_vs_exact"] = _recall_by_score(
+            ovals, lvals, dim, k
+        )
+        log(f"LSH: build {d['lsh_build_seconds']:.2f}s, query "
+            f"{dt_lsh*1e3:.1f} ms ({nq*ns/dt_lsh/1e9:.2f} G pairs/s-equiv), "
+            f"recall@10 vs exact = {d['lsh_recall_at_10_vs_exact']:.4f}")
 
-    # the engine's prefilter config: selection gated at the Hamming
-    # floor of the candidate threshold; recall measured on the
-    # candidates the engine consumes (score >= threshold)
-    from fandom_search_tpu.ops.lsh import coarse_sim_threshold
+        # the engine's prefilter config: selection gated at the Hamming
+        # floor of the candidate threshold; recall measured on the
+        # candidates the engine consumes (score >= threshold)
+        keep_sim = coarse_sim_threshold(thr, cfg.shingle.n, cfg.lsh.bits)
+        dt_g = _time(
+            jnp,
+            lambda: lsh_topk(q_dev, lsh, s_pad, k, dim, cfg.lsh,
+                             interpret=interpret, min_keep_sim=keep_sim),
+            iters=3,
+        )
+        gvals, _ = lsh_topk(q_dev[:cpu_nq], lsh, s_pad, k, dim, cfg.lsh,
+                            interpret=interpret, min_keep_sim=keep_sim)
+        ow = np.asarray(ovals).copy()
+        gw = np.round(np.asarray(gvals) * dim)
+        recs = []
+        for i in range(ow.shape[0]):
+            keepm = ow[i] >= thr
+            if keepm.sum():
+                recs.append(
+                    np.sum(np.isin(np.round(ow[i][keepm] * dim), gw[i]))
+                    / keepm.sum()
+                )
+        d["lsh_gated_pairs_per_sec_equiv"] = nq * ns / dt_g
+        d["lsh_gated_thresholded_recall"] = (
+            float(np.mean(recs)) if recs else 1.0
+        )
+        log(f"LSH gated (engine config, sim floor {keep_sim}): query "
+            f"{dt_g*1e3:.1f} ms ({nq*ns/dt_g/1e9:.2f} G pairs/s-equiv), "
+            f"thresholded recall = {d['lsh_gated_thresholded_recall']:.4f}")
+        log("note: at this index size the exact MXU kernel outruns the "
+            "linear-scan prefilter (see ops/lsh.py docstring)")
 
-    keep_sim = coarse_sim_threshold(thr, cfg.shingle.n, cfg.lsh.bits)
-    dt_g = _time(
-        jnp,
-        lambda: lsh_topk(q_dev, lsh, s_pad, k, dim, cfg.lsh,
-                         interpret=interpret, min_keep_sim=keep_sim),
-        iters=3,
-    )
-    gvals, _ = lsh_topk(q_dev[:cpu_nq], lsh, s_pad, k, dim, cfg.lsh,
-                        interpret=interpret, min_keep_sim=keep_sim)
-    ow = np.asarray(ovals).copy()
-    gw = np.round(np.asarray(gvals) * dim)
-    recs = []
-    for i in range(ow.shape[0]):
-        keepm = ow[i] >= thr
-        if keepm.sum():
-            recs.append(
-                np.sum(np.isin(np.round(ow[i][keepm] * dim), gw[i]))
-                / keepm.sum()
-            )
-    details["lsh_gated_pairs_per_sec_equiv"] = nq * ns / dt_g
-    details["lsh_gated_thresholded_recall"] = (
-        float(np.mean(recs)) if recs else 1.0
-    )
-    log(f"LSH gated (engine config, sim floor {keep_sim}): query "
-        f"{dt_g*1e3:.1f} ms ({nq*ns/dt_g/1e9:.2f} G pairs/s-equiv), "
-        f"thresholded recall = {details['lsh_gated_thresholded_recall']:.4f}")
-    log("note: at this index size the exact MXU kernel outruns the "
-        "linear-scan prefilter (see ops/lsh.py docstring)")
+    cap.run("lsh", stage_lsh)
 
     # ---- config #5b: SUB-LINEAR bucketed prefilter ----------------------
     # Small-index numbers first (where exact brute force should win),
-    # then the large-index regime (BENCH_BIG_NS script shingles, default
-    # 2^20 — a whole-season index) where the bucketed path must beat
+    # then the large-index regimes (2^20 and 2^22 script shingles — a
+    # whole-season index and beyond) where the bucketed path must beat
     # the exact kernel wall-clock at thresholded recall >= 0.99
     # (BASELINE.json:5 "sub-linear"; SURVEY.md §8.7).
     from fandom_search_tpu.data.shingler import shingle_hashes
-    from fandom_search_tpu.ops.bucketed import (
-        BucketedIndex, bucketed_candidates_flat,
-    )
-    from fandom_search_tpu.ops.distance_topk import engine_tiles
 
     def measure_bucketed(ns_b, nq_b, tag):
+        from fandom_search_tpu.ops.bucketed import (
+            BucketedIndex, bucketed_candidates_flat,
+        )
+
         r2 = np.random.default_rng(7)
         s_stream = r2.integers(
             0, 2**32, size=ns_b + cfg.shingle.n - 1, dtype=np.uint32
@@ -433,8 +707,8 @@ def main(argv=None) -> int:
         qb_emb = embed_shingles_np(q_stream, cfg.shingle)
         t0 = time.perf_counter()
         bidx = BucketedIndex.build(windows, cfg.bucketed, cfg.shingle)
-        details[f"{tag}_build_seconds"] = time.perf_counter() - t0
-        details[f"{tag}_overflow_frac"] = bidx.overflow_frac
+        d[f"{tag}_build_seconds"] = time.perf_counter() - t0
+        d[f"{tag}_overflow_frac"] = bidx.overflow_frac
         sb_pad, nsv_b = pad_rows(jnp.asarray(sb_emb), 2048)
         qb_dev = jnp.asarray(qb_emb)
         qb_t = jnp.asarray(np.ascontiguousarray(qb_emb.T))
@@ -504,22 +778,22 @@ def main(argv=None) -> int:
                     hit += 1
                     g_hit += guaranteed
         assert int(np.asarray(bt[3])) <= max_out, "bench budget overflow"
-        details[f"{tag}_exact_seconds"] = best_e
-        details[f"{tag}_seconds"] = best_b
-        details[f"{tag}_speedup_vs_exact"] = best_e / best_b
-        details[f"{tag}_thresholded_recall"] = hit / max(1, tot)
-        details[f"{tag}_guaranteed_recall"] = g_hit / max(1, g_tot)
-        details[f"{tag}_pairs_per_sec_equiv"] = nq_b * ns_b / best_b
+        d[f"{tag}_exact_seconds"] = best_e
+        d[f"{tag}_seconds"] = best_b
+        d[f"{tag}_speedup_vs_exact"] = best_e / best_b
+        d[f"{tag}_thresholded_recall"] = hit / max(1, tot)
+        d[f"{tag}_guaranteed_recall"] = g_hit / max(1, g_tot)
+        d[f"{tag}_pairs_per_sec_equiv"] = nq_b * ns_b / best_b
         # bucketed_small documents the crossover, it is not the pitch:
         # below ~2^19 index shingles the exact MXU kernel is SUPPOSED
         # to win (ops/lsh.py docstring economics); the sub-linear win
-        # lives in bucketed_big / the zipf+english hybrid configs,
-        # which degraded (CPU-fallback) captures skip for time — say
-        # so in the capture itself, so a degraded BENCH_r*.json can't
-        # read as "bucketing loses" (VERDICT r2 weak #2)
+        # lives in the big/huge + skew-hybrid configs, which degraded
+        # (CPU-fallback) captures skip for time — say so in the capture
+        # itself, so a degraded BENCH_r*.json can't read as "bucketing
+        # loses" (VERDICT r2 weak #2)
         note = (
             " [expected: exact wins below the ~2^19-shingle "
-            "crossover; the sub-linear configs are bucketed_big/"
+            "crossover; the sub-linear configs are bucketed_big/huge/"
             "zipf/english, skipped in degraded captures]"
             if tag == "bucketed_small" and best_e < best_b else ""
         )
@@ -529,385 +803,394 @@ def main(argv=None) -> int:
             f"(guaranteed set {g_hit/max(1, g_tot):.4f}), "
             f"overflow {bidx.overflow_frac:.5f}{note}")
 
-    measure_bucketed(ns, min(nq, 1 << 15), "bucketed_small")
+    cap.run("bucketed_small",
+            lambda: measure_bucketed(ns, min(nq, 1 << 15), "bucketed_small"))
     big_ns = int(os.environ.get("BENCH_BIG_NS", 1 << 20))
     if big_ns:
-        measure_bucketed(big_ns, nq, "bucketed_big")
+        cap.run("bucketed_big",
+                lambda: measure_bucketed(big_ns, nq, "bucketed_big"))
     # the 2^22 regime is where sub-linearity pays hardest (probe: x11
     # vs exact at 2^22/2^18, BASELINE.md round-3 rows); capture it in
     # the driver artifact too, healthy backends only (a degraded CPU
     # capture would burn hours here for a number nobody reads)
     huge_ns = int(os.environ.get("BENCH_HUGE_NS", 1 << 22))
     if huge_ns and not probe_note:
-        measure_bucketed(huge_ns, nq, "bucketed_huge")
+        cap.run("bucketed_huge",
+                lambda: measure_bucketed(huge_ns, nq, "bucketed_huge"))
 
-    # ---- config #5c: HYBRID bucketed on a Zipf-skewed vocabulary --------
+    # ---- config #5c/#5d: HYBRID bucketed on skewed vocabularies ---------
     # Real text is Zipfian; hot word-pair buckets overflow cap and the
-    # pure bucketed path loses its guarantee (round-2 measured recall
-    # 0.06 on Zipf-1.3).  The hybrid reroutes at-risk queries through
-    # the exact kernel; this config attests recall restoration and the
-    # rerouted fraction in the standard capture.
-    zipf_ns = int(os.environ.get(
-        "BENCH_ZIPF_NS", 0 if probe_note else 1 << 20
-    ))
-    if zipf_ns:
+    # pure bucketed path loses its guarantee.  The hybrid reroutes
+    # at-risk queries through the exact kernel; these configs attest
+    # recall restoration, the rerouted fraction, and — on English-like
+    # skew at 2^20+ — the sub-linear wall-clock WIN (VERDICT r3 #2).
+    #
+    # Two distributions: zipf-1.3 % 50k (top word 29% of tokens, ~5x
+    # real English — the adversarial stress case; DESIGN.md §4.4 shows
+    # its hot-pair mass pins any 0.99-recall scheme near full reroute)
+    # and zipf-1.01 over a 2^19 vocabulary (top word ~2.6% — English
+    # prose is ~5-6% "the"; fanfic sits between).  pairs="all" on the
+    # english configs makes the guarantee deterministic down to 2
+    # matching positions, so the only unreachable exact-top-k entries
+    # are pure embedding noise (<=1 true matching position — SW-
+    # rejected downstream).
+    def measure_skew(tag, *, ns_c, nq_c, zipf_a, vocab, pairs_mode,
+                     plant_stride, guarantee_min, seed):
+        import dataclasses as _dc
+
         from fandom_search_tpu.ops.bucketed import (
-            BucketedIndex as _BIdx, drive_hybrid,
+            BucketedIndex, drive_hybrid,
         )
 
-        r3 = np.random.default_rng(11)
-        nq_z = min(nq, 1 << 16)
+        bcfg = (_dc.replace(cfg.bucketed, pairs=pairs_mode)
+                if pairs_mode else cfg.bucketed)
+        r = np.random.default_rng(seed)
 
-        def zipf_words(count):
+        def words(count):
             # ranks -> word hashes: heavy head like stopwords
             return (
-                (r3.zipf(1.3, size=count) % 50000).astype(np.uint32)
+                (r.zipf(zipf_a, size=count) % vocab).astype(np.uint32)
                 * np.uint32(0x9E3779B9)
             )
 
-        sz_stream = zipf_words(zipf_ns + cfg.shingle.n - 1)
-        qz_stream = zipf_words(nq_z + cfg.shingle.n - 1)
-        for qi in range(0, nq_z, 100):
-            si = int(r3.integers(0, zipf_ns))
-            qz_stream[qi : qi + cfg.shingle.n] = sz_stream[
+        s_stream = words(ns_c + cfg.shingle.n - 1)
+        q_stream = words(nq_c + cfg.shingle.n - 1)
+        for qi in range(0, nq_c, plant_stride):
+            si = int(r.integers(0, ns_c))
+            q_stream[qi : qi + cfg.shingle.n] = s_stream[
                 si : si + cfg.shingle.n
             ]
-        zw = shingle_hashes(sz_stream, cfg.shingle)
-        zb = _BIdx.build(zw, cfg.bucketed, cfg.shingle)
-        details["bucketed_zipf_overflow_frac"] = zb.overflow_frac
-        sz_emb = embed_shingles_np(sz_stream, cfg.shingle)
-        qz_emb = embed_shingles_np(qz_stream, cfg.shingle)
-        sz_pad, nsz = pad_rows(jnp.asarray(sz_emb), 2048)
-        qz_dev = jnp.asarray(qz_emb)
-        qz_t = jnp.asarray(np.ascontiguousarray(qz_emb.T))
-        qzs_dev = jnp.asarray(qz_stream)
-        smax_z = cfg.shingle.n * cfg.shingle.n * dim
-        tq_z, ts_z = engine_tiles(nq_z, sz_pad.shape[0])
-        max_out_z = 1 << 16
-        risk_budget_z = 1 << 13
+        sw_h = shingle_hashes(s_stream, cfg.shingle)
+        bidx = BucketedIndex.build(sw_h, bcfg, cfg.shingle)
+        d[f"{tag}_overflow_frac"] = bidx.overflow_frac
+        s_embz = embed_shingles_np(s_stream, cfg.shingle)
+        q_embz = embed_shingles_np(q_stream, cfg.shingle)
+        s_padz, nsz = pad_rows(jnp.asarray(s_embz), 2048)
+        q_devz = jnp.asarray(q_embz)
+        q_tz = jnp.asarray(np.ascontiguousarray(q_embz.T))
+        qs_devz = jnp.asarray(q_stream)
+        smax = cfg.shingle.n * cfg.shingle.n * dim
+        tq_z, ts_z = engine_tiles(nq_c, s_padz.shape[0])
+        max_out = 1 << 16
+        risk_budget = 1 << 13
 
-        def run_exact_z():
+        def run_exact():
             return topk_dot_pallas(
-                qz_t, sz_pad, nsz, k, dim, interpret=interpret,
+                q_tz, s_padz, nsz, k, dim, interpret=interpret,
                 tile_q=tq_z, tile_s=ts_z, min_keep=thr,
-                q_transposed=True, max_abs_score=smax_z,
+                q_transposed=True, max_abs_score=smax,
             )
 
-        def run_hybrid_z():
-            nonlocal risk_budget_z, max_out_z
-            out, rc, max_out_z, risk_budget_z = drive_hybrid(
-                qzs_dev, qz_dev, zb.entries, zb.offsets, sz_pad, nsz,
-                n=cfg.shingle.n, cap=cfg.bucketed.cap,
-                num_buckets=zb.num_buckets, salts=zb.salts,
-                k=k, dim=dim, threshold=thr,
-                pairs_mode=cfg.bucketed.pairs,
-                max_out=max_out_z, risk_budget=risk_budget_z,
-                interpret=interpret, max_abs_score=smax_z,
+        def run_hybrid():
+            nonlocal risk_budget, max_out
+            out, rc, max_out, risk_budget = drive_hybrid(
+                qs_devz, q_devz, bidx.entries, bidx.offsets, s_padz, nsz,
+                n=cfg.shingle.n, cap=bcfg.cap,
+                num_buckets=bidx.num_buckets, salts=bidx.salts,
+                k=k, dim=dim, threshold=thr, pairs_mode=bcfg.pairs,
+                max_out=max_out, risk_budget=risk_budget,
+                interpret=interpret, max_abs_score=smax,
                 grow_max_out=True,  # never truncate measured triples
             )
             return out, rc
 
-        ev_z = run_exact_z()
-        _sync(jnp, ev_z[0])
-        (hqp, hsi, hsc, hcnt), rc_z = run_hybrid_z()
+        ev = run_exact()
+        _sync(jnp, ev[0])
+        (hqp, hsi, hsc, hcnt), rc_n = run_hybrid()
         _sync(jnp, hsc)
-        best_ez = best_hz = float("inf")
+        best_e = best_h = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _sync(jnp, run_exact_z()[0])
-            best_ez = min(best_ez, time.perf_counter() - t0)
+            _sync(jnp, run_exact()[0])
+            best_e = min(best_e, time.perf_counter() - t0)
             t0 = time.perf_counter()
-            _sync(jnp, run_hybrid_z()[0][2])
-            best_hz = min(best_hz, time.perf_counter() - t0)
-        # thresholded recall of hybrid triples vs the exact kernel
-        from fandom_search_tpu.ops.bucketed import (
-            thresholded_recall_vs_exact,
-        )
+            _sync(jnp, run_hybrid()[0][2])
+            best_h = min(best_h, time.perf_counter() - t0)
 
-        rec_z, tot_z = thresholded_recall_vs_exact(
-            ev_z[0], hqp, hsc, hcnt, dim=dim, threshold=thr, stride=17,
-        )
-        hit_z = round(rec_z * tot_z)
-        details.update({
-            "bucketed_zipf_ns": zipf_ns,
-            "bucketed_zipf_risk_frac": rc_z / max(1, nq_z),
-            "bucketed_zipf_exact_seconds": best_ez,
-            "bucketed_zipf_hybrid_seconds": best_hz,
-            "bucketed_zipf_hybrid_vs_exact": best_ez / best_hz,
-            "bucketed_zipf_hybrid_thresholded_recall": (
-                hit_z / max(1, tot_z)
-            ),
+        # thresholded recall of the hybrid triples vs the exact
+        # kernel's above-threshold entries, strided sample; split into
+        # the guaranteed set when the config carries a pigeonhole bound
+        q_wh = shingle_hashes(q_stream, cfg.shingle)
+        evn, ein = np.asarray(ev[0]), np.asarray(ev[1])
+        hcnt_i = int(np.asarray(hcnt))
+        got = {}
+        for q, s, v in zip(
+            np.asarray(hqp)[:hcnt_i], np.asarray(hsi)[:hcnt_i],
+            np.asarray(hsc)[:hcnt_i],
+        ):
+            if q >= 0:
+                got.setdefault(int(q), []).append(round(float(v) * dim))
+        tot = hit = g_tot = g_hit = 0
+        for i in range(0, nq_c, 17):
+            keepm = evn[i] >= thr
+            if not keepm.any():
+                continue
+            have = got.get(i, [])
+            for v, si in zip(
+                np.round(evn[i][keepm] * dim), ein[i][keepm]
+            ):
+                guaranteed = (
+                    guarantee_min is not None
+                    and int((q_wh[i] == sw_h[si]).sum()) >= guarantee_min
+                )
+                tot += 1
+                g_tot += guaranteed
+                if v in have:
+                    have.remove(v)
+                    hit += 1
+                    g_hit += guaranteed
+        d.update({
+            f"{tag}_ns": ns_c,
+            f"{tag}_risk_frac": rc_n / max(1, nq_c),
+            f"{tag}_exact_seconds": best_e,
+            f"{tag}_hybrid_seconds": best_h,
+            f"{tag}_hybrid_vs_exact": best_e / best_h,
+            f"{tag}_thresholded_recall": hit / max(1, tot),
         })
-        log(f"bucketed zipf hybrid [ns={zipf_ns}]: overflow "
-            f"{zb.overflow_frac:.2%}, at-risk {rc_z}/{nq_z} "
-            f"({rc_z/max(1,nq_z):.1%}); exact {best_ez*1e3:.1f} ms vs "
-            f"hybrid {best_hz*1e3:.1f} ms (x{best_ez/best_hz:.2f}); "
-            f"thresholded recall {hit_z/max(1,tot_z):.4f} "
-            f"({tot_z} entries)")
+        gmsg = ""
+        if guarantee_min is not None:
+            d[f"{tag}_guaranteed_recall"] = g_hit / max(1, g_tot)
+            gmsg = (f" (guaranteed >={guarantee_min}-match set "
+                    f"{g_hit/max(1, g_tot):.4f})")
+        log(f"bucketed hybrid [{tag}] ns={ns_c} pairs={bcfg.pairs}: "
+            f"overflow {bidx.overflow_frac:.2%}, at-risk {rc_n}/{nq_c} "
+            f"({rc_n/max(1,nq_c):.1%}); exact {best_e*1e3:.1f} ms vs "
+            f"hybrid {best_h*1e3:.1f} ms (x{best_e/best_h:.2f}); "
+            f"thresholded recall {hit/max(1,tot):.4f}{gmsg} "
+            f"({tot} entries)")
 
-    # ---- config #5d: hybrid bucketed on ENGLISH-like skew ---------------
-    # #5c's zipf-1.3%50k head (top word = 29% of tokens, ~5x real
-    # English) pins the reroute fraction at ~86% for any 0.99-recall
-    # scheme (DESIGN.md §4.4 measured bound) — it is the stress case.
-    # This config models the actual workload: zipf-1.01 over a 2^19
-    # vocabulary gives top-word frequency ~2.6% ("the" is ~5-6% in
-    # English prose; fanfic corpora sit between).  pairs="all" makes
-    # the guarantee deterministic down to 2 matching positions (every
-    # pair probed: cold -> fully enumerated, hot -> query rerouted),
-    # so the only unreachable exact-top-k entries are pure embedding-
-    # noise (<=1 true matching positions — SW-rejected downstream).
+    zipf_ns = int(os.environ.get(
+        "BENCH_ZIPF_NS", 0 if probe_note else 1 << 20
+    ))
+    if zipf_ns:
+        cap.run("bucketed_zipf", lambda: measure_skew(
+            "bucketed_zipf", ns_c=zipf_ns, nq_c=min(nq, 1 << 16),
+            zipf_a=1.3, vocab=50000, pairs_mode=None,
+            plant_stride=100, guarantee_min=None, seed=11,
+        ))
     eng_ns = int(os.environ.get(
         "BENCH_ENGLISH_NS", 0 if probe_note else 1 << 20
     ))
     if eng_ns:
-        import dataclasses as _dc
-
-        from fandom_search_tpu.ops.bucketed import (
-            BucketedIndex as _BIdx2, drive_hybrid as _drive2,
-        )
-
-        eng_bcfg = _dc.replace(cfg.bucketed, pairs="all")
-        r4 = np.random.default_rng(13)
-        nq_e = min(nq, 1 << 16)
-        v_eng = 1 << 19
-
-        def eng_words(count):
-            return (
-                (r4.zipf(1.01, size=count) % v_eng).astype(np.uint32)
-                * np.uint32(0x9E3779B9)
-            )
-
-        se_stream = eng_words(eng_ns + cfg.shingle.n - 1)
-        qe_stream = eng_words(nq_e + cfg.shingle.n - 1)
-        for qi in range(0, nq_e, 20):  # denser plants than #5c: the
-            si = int(r4.integers(0, eng_ns))  # recall metric should be
-            qe_stream[qi : qi + cfg.shingle.n] = se_stream[  # dominated
-                si : si + cfg.shingle.n  # by real matches, not noise
-            ]
-        ew = shingle_hashes(se_stream, cfg.shingle)
-        eb = _BIdx2.build(ew, eng_bcfg, cfg.shingle)
-        details["bucketed_english_overflow_frac"] = eb.overflow_frac
-        se_emb = embed_shingles_np(se_stream, cfg.shingle)
-        qe_emb = embed_shingles_np(qe_stream, cfg.shingle)
-        se_pad, nse = pad_rows(jnp.asarray(se_emb), 2048)
-        qe_dev = jnp.asarray(qe_emb)
-        qe_t = jnp.asarray(np.ascontiguousarray(qe_emb.T))
-        qes_dev = jnp.asarray(qe_stream)
-        smax_e = cfg.shingle.n * cfg.shingle.n * dim
-        tq_e, ts_e = engine_tiles(nq_e, se_pad.shape[0])
-        max_out_e = 1 << 16
-        risk_budget_e = 1 << 13
-
-        def run_exact_e():
-            return topk_dot_pallas(
-                qe_t, se_pad, nse, k, dim, interpret=interpret,
-                tile_q=tq_e, tile_s=ts_e, min_keep=thr,
-                q_transposed=True, max_abs_score=smax_e,
-            )
-
-        def run_hybrid_e():
-            nonlocal risk_budget_e, max_out_e
-            out, rc, max_out_e, risk_budget_e = _drive2(
-                qes_dev, qe_dev, eb.entries, eb.offsets, se_pad, nse,
-                n=cfg.shingle.n, cap=eng_bcfg.cap,
-                num_buckets=eb.num_buckets, salts=eb.salts,
-                k=k, dim=dim, threshold=thr, pairs_mode=eng_bcfg.pairs,
-                max_out=max_out_e, risk_budget=risk_budget_e,
-                interpret=interpret, max_abs_score=smax_e,
-                grow_max_out=True,
-            )
-            return out, rc
-
-        ev_e = run_exact_e()
-        _sync(jnp, ev_e[0])
-        (eqp, esi, esc, ecnt), rc_e = run_hybrid_e()
-        _sync(jnp, esc)
-        best_ee = best_he = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _sync(jnp, run_exact_e()[0])
-            best_ee = min(best_ee, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            _sync(jnp, run_hybrid_e()[0][2])
-            best_he = min(best_he, time.perf_counter() - t0)
-        # thresholded recall split into the >=2-match GUARANTEED set
-        # (pairs="all" pigeonhole) and all entries, like bucketed_big
-        qe_w = shingle_hashes(qe_stream, cfg.shingle)
-        evn_e, ein_e = np.asarray(ev_e[0]), np.asarray(ev_e[1])
-        got_e = {}
-        ecnt_i = int(np.asarray(ecnt))
-        for q, s, v in zip(
-            np.asarray(eqp)[:ecnt_i], np.asarray(esi)[:ecnt_i],
-            np.asarray(esc)[:ecnt_i],
-        ):
-            if q >= 0:
-                got_e.setdefault(int(q), []).append(round(float(v) * dim))
-        tot_e = hit_e = g_tot_e = g_hit_e = 0
-        for i in range(0, nq_e, 17):
-            keepm = evn_e[i] >= thr
-            if not keepm.any():
-                continue
-            have = got_e.get(i, [])
-            for v, si in zip(
-                np.round(evn_e[i][keepm] * dim), ein_e[i][keepm]
-            ):
-                guaranteed = int((qe_w[i] == ew[si]).sum()) >= 2
-                tot_e += 1
-                g_tot_e += guaranteed
-                if v in have:
-                    have.remove(v)
-                    hit_e += 1
-                    g_hit_e += guaranteed
-        details.update({
-            "bucketed_english_ns": eng_ns,
-            "bucketed_english_risk_frac": rc_e / max(1, nq_e),
-            "bucketed_english_exact_seconds": best_ee,
-            "bucketed_english_hybrid_seconds": best_he,
-            "bucketed_english_hybrid_vs_exact": best_ee / best_he,
-            "bucketed_english_thresholded_recall": (
-                hit_e / max(1, tot_e)
-            ),
-            "bucketed_english_guaranteed_recall": (
-                g_hit_e / max(1, g_tot_e)
-            ),
-        })
-        log(f"bucketed english hybrid [ns={eng_ns}, pairs=all]: "
-            f"overflow {eb.overflow_frac:.2%}, at-risk {rc_e}/{nq_e} "
-            f"({rc_e/max(1,nq_e):.1%}); exact {best_ee*1e3:.1f} ms vs "
-            f"hybrid {best_he*1e3:.1f} ms (x{best_ee/best_he:.2f}); "
-            f"thresholded recall {hit_e/max(1,tot_e):.4f} "
-            f"(guaranteed >=2-match set {g_hit_e/max(1,g_tot_e):.4f}, "
-            f"{tot_e} entries)")
+        cap.run("bucketed_english", lambda: measure_skew(
+            "bucketed_english", ns_c=eng_ns, nq_c=min(nq, 1 << 16),
+            zipf_a=1.01, vocab=1 << 19, pairs_mode="all",
+            plant_stride=20, guarantee_min=2, seed=13,
+        ))
+    # The headline realistic-skew config (VERDICT r3 #2): english-like
+    # skew at 2^22 script shingles with the deterministic >=2-match
+    # guarantee, where the hybrid WINS wall-clock (probe: x3.16,
+    # BASELINE.md round-3 rows).  Healthy backends only.
+    eng_huge_ns = int(os.environ.get(
+        "BENCH_ENGLISH_HUGE_NS", 0 if probe_note else 1 << 22
+    ))
+    if eng_huge_ns:
+        cap.run("bucketed_english_huge", lambda: measure_skew(
+            "bucketed_english_huge", ns_c=eng_huge_ns,
+            nq_c=min(nq, 1 << 17),
+            zipf_a=1.01, vocab=1 << 19, pairs_mode="all",
+            plant_stride=20, guarantee_min=2, seed=13,
+        ))
 
     # ---- end-to-end engine vs extrapolated CPU oracle --------------------
-    if not os.environ.get("BENCH_SKIP_E2E"):
-        from fandom_search_tpu.search.engine import SearchEngine
-        from fandom_search_tpu.search.oracle import search_works_oracle
+    n_works = int(os.environ.get("BENCH_E2E_WORKS", 10000))
 
-        n_works = int(os.environ.get("BENCH_E2E_WORKS", 10000))
-        n_cpu_works = int(os.environ.get("BENCH_CPU_E2E_WORKS", 50))
-        t0 = time.perf_counter()
-        lines, index, works, _e2e_cfg = make_e2e_world(rng, n_works)
-        log(f"e2e corpus: {n_works} works built in "
-            f"{time.perf_counter()-t0:.1f}s")
+    def get_e2e():
+        """e2e world + warmed engine + the exact path's rows (memoized;
+        rebuilt deterministically on a resume — seed fixed)."""
+        if "e2e" not in _memo:
+            from fandom_search_tpu.search.engine import SearchEngine
 
-        eng = SearchEngine(index, cfg, use_pallas=use_pallas,
-                           interpret=interpret)
-        # Warm with one FULL pass: compiles every stream bucket the
-        # timed run will use (full-cap batches + the final partial
-        # bucket) and settles the sticky budgets.  Then time best-of-N
-        # full passes — the host<->device tunnel here has multi-second
-        # throughput phases, and a single-shot reading can be ~2x off.
-        eng.search_works(works)
-        e2e_reps = int(os.environ.get("BENCH_E2E_REPS", 3))
-        e2e_runs = []
-        for _ in range(e2e_reps):
+            r_e2e = np.random.default_rng(42)
             t0 = time.perf_counter()
-            rows, stats = eng.search_works(works)
-            e2e_runs.append(time.perf_counter() - t0)
-        e2e_dt = min(e2e_runs)
-        log(f"end-to-end: {n_works} works ({stats.num_query_shingles} "
-            f"shingles) vs {index.num_shingles}-shingle script in "
-            f"{e2e_dt:.2f}s, {len(rows)} match rows")
+            lines, index, works, _c = make_e2e_world(r_e2e, n_works)
+            log(f"e2e corpus: {n_works} works built in "
+                f"{time.perf_counter()-t0:.1f}s")
+            eng = SearchEngine(index, cfg, use_pallas=use_pallas,
+                               interpret=interpret)
+            # Warm with one FULL pass: compiles every stream bucket
+            # the timed runs will use (full-cap batches + the final
+            # partial bucket) and settles the sticky budgets.
+            rows0, _s0 = eng.search_works(works)
+            _memo["e2e"] = (lines, index, works, eng, rows0)
+        return _memo["e2e"]
 
-        # CPU baselines on a subsample, extrapolated by query-shingle
-        # count.  Two baselines: the vectorized NumPy oracle (best
-        # reasonable CPU implementation of the algorithm) and the
-        # reference-style pipeline (sklearn BallTree + python-
-        # Levenshtein — the stack the reference actually runs).
-        sample = dict(list(works.items())[:n_cpu_works])
-        t0 = time.perf_counter()
-        orows, ostats = search_works_oracle(sample, index, cfg)
-        cpu_sample_dt = time.perf_counter() - t0
-        scale = stats.num_query_shingles / max(1, ostats.num_query_shingles)
-        cpu_e2e_est = cpu_sample_dt * scale
-        log(f"CPU oracle e2e: {cpu_sample_dt:.2f}s for {n_cpu_works} works "
-            f"-> extrapolated {cpu_e2e_est:.1f}s for {n_works} "
-            f"(x{scale:.1f} by shingle count)")
+    if not os.environ.get("BENCH_SKIP_E2E"):
+        def stage_e2e():
+            from fandom_search_tpu.search.oracle import search_works_oracle
+            from fandom_search_tpu.search.reference_pipeline import (
+                ReferenceSearch,
+            )
 
-        from fandom_search_tpu.search.reference_pipeline import ReferenceSearch
+            lines, index, works, eng, _rows0 = get_e2e()
+            n_cpu_works = int(os.environ.get("BENCH_CPU_E2E_WORKS", 50))
+            # time best-of-N full passes — the host<->device tunnel
+            # here has multi-second throughput phases, and a
+            # single-shot reading can be ~2x off
+            e2e_reps = int(os.environ.get("BENCH_E2E_REPS", 3))
+            e2e_runs = []
+            rows = stats = None
+            for _ in range(e2e_reps):
+                t0 = time.perf_counter()
+                rows, stats = eng.search_works(works)
+                e2e_runs.append(time.perf_counter() - t0)
+            e2e_dt = min(e2e_runs)
+            log(f"end-to-end: {n_works} works "
+                f"({stats.num_query_shingles} shingles) vs "
+                f"{index.num_shingles}-shingle script in {e2e_dt:.2f}s, "
+                f"{len(rows)} match rows")
 
-        ref = ReferenceSearch(lines, cfg)
-        t0 = time.perf_counter()
-        rrows, rstats = ref.search_works(sample)
-        ref_sample_dt = time.perf_counter() - t0
-        ref_e2e_est = ref_sample_dt * (
-            stats.num_query_shingles / max(1, rstats.num_query_shingles)
-        )
-        log(f"reference pipeline (BallTree+Levenshtein) e2e: "
-            f"{ref_sample_dt:.2f}s for {n_cpu_works} works -> "
-            f"extrapolated {ref_e2e_est:.1f}s for {n_works}")
-        details.update({
-            "cpu_reference_sample_seconds": ref_sample_dt,
-            "cpu_reference_extrapolated_seconds": ref_e2e_est,
-            "e2e_speedup_vs_reference": ref_e2e_est / e2e_dt,
-        })
-        details.update({
-            "e2e_works": n_works,
-            "e2e_seconds": e2e_dt,
-            "e2e_seconds_runs": e2e_runs,
-            "e2e_query_shingles": stats.num_query_shingles,
-            "e2e_matches": len(rows),
-            "e2e_pairs_per_sec": stats.shingle_pairs / e2e_dt,
-            # fused engine: one device call per batch; "submit" is the
-            # dispatch cost, everything else (device wait + host work)
-            # lands in process_seconds — per-stage split is not
-            # observable from outside one fused call
-            "e2e_submit_seconds": stats.seconds_device_topk,
-            "e2e_process_seconds": stats.seconds_host,
-            "cpu_e2e_sample_works": n_cpu_works,
-            "cpu_e2e_sample_seconds": cpu_sample_dt,
-            "cpu_e2e_extrapolated_seconds": cpu_e2e_est,
-            "e2e_speedup_vs_cpu": cpu_e2e_est / e2e_dt,
-            "e2e_sample_match_parity": len(orows) > 0,
-        })
-        log(f"e2e speedup vs CPU oracle: x{cpu_e2e_est/e2e_dt:.0f}")
+            # CPU baselines on a subsample, extrapolated by query-
+            # shingle count.  Two baselines: the vectorized NumPy
+            # oracle (best reasonable CPU implementation of the
+            # algorithm) and the reference-style pipeline (sklearn
+            # BallTree + python-Levenshtein — the stack the reference
+            # actually runs).
+            sample = dict(list(works.items())[:n_cpu_works])
+            t0 = time.perf_counter()
+            orows, ostats = search_works_oracle(sample, index, cfg)
+            cpu_sample_dt = time.perf_counter() - t0
+            scale = (stats.num_query_shingles
+                     / max(1, ostats.num_query_shingles))
+            cpu_e2e_est = cpu_sample_dt * scale
+            log(f"CPU oracle e2e: {cpu_sample_dt:.2f}s for "
+                f"{n_cpu_works} works -> extrapolated {cpu_e2e_est:.1f}s "
+                f"for {n_works} (x{scale:.1f} by shingle count)")
 
-        # ---- config #4 corpus scale: 100k+ works, captured by the
-        # standard bench (BASELINE.json:10).  One timed pass (scale
-        # attestation, not a best-of probe); same script/engine.
+            ref = ReferenceSearch(lines, cfg)
+            t0 = time.perf_counter()
+            rrows, rstats = ref.search_works(sample)
+            ref_sample_dt = time.perf_counter() - t0
+            ref_e2e_est = ref_sample_dt * (
+                stats.num_query_shingles
+                / max(1, rstats.num_query_shingles)
+            )
+            log(f"reference pipeline (BallTree+Levenshtein) e2e: "
+                f"{ref_sample_dt:.2f}s for {n_cpu_works} works -> "
+                f"extrapolated {ref_e2e_est:.1f}s for {n_works}")
+            d.update({
+                "cpu_reference_sample_seconds": ref_sample_dt,
+                "cpu_reference_extrapolated_seconds": ref_e2e_est,
+                "e2e_speedup_vs_reference": ref_e2e_est / e2e_dt,
+                "e2e_works": n_works,
+                "e2e_seconds": e2e_dt,
+                "e2e_seconds_runs": e2e_runs,
+                "e2e_query_shingles": stats.num_query_shingles,
+                "e2e_matches": len(rows),
+                "e2e_pairs_per_sec": stats.shingle_pairs / e2e_dt,
+                # fused engine: one device call per batch; "submit" is
+                # the dispatch cost, everything else (device wait +
+                # host work) lands in process_seconds
+                "e2e_submit_seconds": stats.seconds_device_topk,
+                "e2e_process_seconds": stats.seconds_host,
+                "cpu_e2e_sample_works": n_cpu_works,
+                "cpu_e2e_sample_seconds": cpu_sample_dt,
+                "cpu_e2e_extrapolated_seconds": cpu_e2e_est,
+                "e2e_speedup_vs_cpu": cpu_e2e_est / e2e_dt,
+                "e2e_sample_match_parity": len(orows) > 0,
+            })
+            log(f"e2e speedup vs CPU oracle: x{cpu_e2e_est/e2e_dt:.0f}")
+
+        cap.run("e2e", stage_e2e)
+
+        # ---- bucketed e2e row parity (VERDICT r3 #3) ------------------
+        # The recall attestation the probe tables can't give: run the
+        # SAME corpus through the engine with the bucketed hybrid
+        # prefilter attached and compare final MatchRow sets — misses
+        # in the bucketed candidate stream must be SW-rejected noise,
+        # so the row sets should be identical.
+        def stage_bucketed_e2e():
+            from fandom_search_tpu.ops.bucketed import (
+                attach_bucketed_prefilter,
+            )
+            from fandom_search_tpu.search.engine import SearchEngine
+
+            lines, index, works, _eng, rows_exact = get_e2e()
+            eng_b = SearchEngine(index, cfg, use_pallas=use_pallas,
+                                 interpret=interpret)
+            attach_bucketed_prefilter(eng_b, cfg.bucketed)
+            eng_b.search_works(works)  # warm/compile pass
+            t0 = time.perf_counter()
+            rows_b, stats_b = eng_b.search_works(works)
+            dt_b = time.perf_counter() - t0
+            exact_set, b_set = set(rows_exact), set(rows_b)
+            inter = len(exact_set & b_set)
+            d.update({
+                "bucketed_e2e_works": n_works,
+                "bucketed_e2e_seconds": dt_b,
+                "bucketed_e2e_rows": len(rows_b),
+                "bucketed_e2e_row_parity": inter / max(1, len(exact_set)),
+                "bucketed_e2e_missing_rows": len(exact_set - b_set),
+                "bucketed_e2e_extra_rows": len(b_set - exact_set),
+                "bucketed_e2e_risk_frac": stats_b.extra.get(
+                    "bucketed_risk_frac", 0.0),
+            })
+            log(f"bucketed e2e parity: {len(rows_b)} rows vs "
+                f"{len(exact_set)} exact in {dt_b:.2f}s -> parity "
+                f"{inter/max(1,len(exact_set)):.4f} "
+                f"(missing {len(exact_set-b_set)}, extra "
+                f"{len(b_set-exact_set)}, risk_frac "
+                f"{d['bucketed_e2e_risk_frac']:.3f}) "
+                "[small script index: the bucketed path's value here "
+                "is the parity attestation, not wall-clock]")
+
+        cap.run("bucketed_e2e_parity", stage_bucketed_e2e)
+
+        # ---- config #4 corpus scale: 100k+ works ----------------------
         scale_works = int(os.environ.get("BENCH_SCALE_WORKS", 100000))
         if scale_works > n_works:
-            from fandom_search_tpu.utils.synthetic import (
-                make_corpus_with_quotes, make_vocab,
-            )
+            def stage_scale():
+                from fandom_search_tpu.utils.synthetic import (
+                    make_corpus_with_quotes, make_vocab,
+                )
 
-            t0 = time.perf_counter()
-            works_big, _ = make_corpus_with_quotes(
-                rng, [ln.text for ln in lines], num_works=scale_works,
-                words_per_work=2000, quotes_per_work=3,
-                vocab=make_vocab(rng, 5000),
-            )
-            log(f"scale corpus: {scale_works} works built in "
-                f"{time.perf_counter()-t0:.1f}s")
-            # best-of-N like the 10k e2e: a single pass can land in a
-            # slow link phase (observed 86-150 s for identical work)
-            scale_reps = int(os.environ.get("BENCH_SCALE_REPS", 2))
-            scale_runs = []
-            for _ in range(scale_reps):
+                lines, _index, _works, eng, _rows0 = get_e2e()
+                r_sc = np.random.default_rng(43)
                 t0 = time.perf_counter()
-                rows_big, stats_big = eng.search_works(works_big)
-                scale_runs.append(time.perf_counter() - t0)
-            dt_big = min(scale_runs)
-            details.update({
-                "scale_works": scale_works,
-                "scale_seconds": dt_big,
-                "scale_seconds_runs": scale_runs,
-                "scale_query_shingles": stats_big.num_query_shingles,
-                "scale_matches": len(rows_big),
-                "scale_pairs_per_sec": stats_big.shingle_pairs / dt_big,
-            })
-            log(f"scale e2e: {scale_works} works "
-                f"({stats_big.num_query_shingles} shingles) in "
-                f"{dt_big:.1f}s, {len(rows_big)} rows")
+                works_big, _ = make_corpus_with_quotes(
+                    r_sc, [ln.text for ln in lines],
+                    num_works=scale_works, words_per_work=2000,
+                    quotes_per_work=3, vocab=make_vocab(r_sc, 5000),
+                )
+                log(f"scale corpus: {scale_works} works built in "
+                    f"{time.perf_counter()-t0:.1f}s")
+                # best-of-N like the 10k e2e: a single pass can land in
+                # a slow link phase (observed 86-150 s for identical
+                # work)
+                scale_reps = int(os.environ.get("BENCH_SCALE_REPS", 2))
+                scale_runs = []
+                rows_big = stats_big = None
+                for _ in range(scale_reps):
+                    t0 = time.perf_counter()
+                    rows_big, stats_big = eng.search_works(works_big)
+                    scale_runs.append(time.perf_counter() - t0)
+                dt_big = min(scale_runs)
+                d.update({
+                    "scale_works": scale_works,
+                    "scale_seconds": dt_big,
+                    "scale_seconds_runs": scale_runs,
+                    "scale_query_shingles": stats_big.num_query_shingles,
+                    "scale_matches": len(rows_big),
+                    "scale_pairs_per_sec": (
+                        stats_big.shingle_pairs / dt_big),
+                })
+                log(f"scale e2e: {scale_works} works "
+                    f"({stats_big.num_query_shingles} shingles) in "
+                    f"{dt_big:.1f}s, {len(rows_big)} rows")
 
-    with open("bench_details.json", "w") as f:
-        json.dump(details, f, indent=2)
-    log("details -> bench_details.json")
+            cap.run("scale", stage_scale)
+
+    d["capture_complete"] = True
+    cap.flush()
+    with open(FINAL_NAME, "w") as f:
+        json.dump(d, f, indent=2)
+    log(f"details -> {FINAL_NAME}")
 
     print(json.dumps(driver_line(
         "shingle_pairs_per_sec", round(rate_engine), "pairs/s",
-        round(rate_engine / cpu_rate, 2), platform, probe_note,
+        round(rate_engine / d["cpu_pairs_per_sec"], 2)
+        if d.get("cpu_pairs_per_sec") else 0,
+        platform, probe_note,
     )))
     return 0
 

@@ -1,0 +1,140 @@
+"""Crash-proof bench capture (VERDICT r3 #1).
+
+The driver-facing bench is a supervisor around a checkpointing child:
+a mid-run backend fault (the tunnel's observed FAILED_PRECONDITION
+crashes) or a mid-run hang must never kill the artifact.  The
+supervisor re-probes the device, resumes the child from the first
+incomplete stage, falls back to the CPU backend after a second death,
+and ALWAYS emits one parsed JSON line with backend/degraded/fault
+fields and exit 0 (quick-mode regression failures excepted).
+
+Faults are injected with the BENCH_FAULT_STAGE knob — a raise (or
+sleep) inside a named stage, exactly where a JaxRuntimeError would
+surface.  Each test runs the real bench in subprocesses on the pinned
+CPU backend at tiny sizes.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+TINY = {
+    "BENCH_CPU": "1",          # pin the CPU backend (not degraded)
+    "BENCH_NQ": "256",
+    "BENCH_NS": "256",
+    "BENCH_CPU_NQ": "128",  # must be a multiple of the kernel tile
+    "BENCH_SW_B": "32",
+    "BENCH_BIG_NS": "0",
+    "BENCH_HUGE_NS": "0",
+    "BENCH_ZIPF_NS": "0",
+    "BENCH_ENGLISH_NS": "0",
+    "BENCH_ENGLISH_HUGE_NS": "0",
+    "BENCH_SKIP_E2E": "1",
+}
+
+
+def _run_bench(tmp_path, extra_env, argv=()):
+    env = {**os.environ, **TINY, **extra_env}
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = str(REPO)
+    code = (
+        "import sys\nfrom fandom_search_tpu import bench\n"
+        f"sys.exit(bench.main({list(argv)!r}))\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=tmp_path,
+    )
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+    return r, json.loads(line)
+
+
+def test_transient_fault_recovers_and_completes(tmp_path):
+    """Attempt 1 dies mid-run; the resumed attempt completes every
+    remaining stage.  The line carries the fault but stays
+    degraded=false: every recorded number ran on the original
+    backend."""
+    sentinel = tmp_path / "fault_fired"
+    r, out = _run_bench(tmp_path, {
+        "BENCH_FAULT_STAGE": "sw",
+        "BENCH_FAULT_MODE": "once",
+        "BENCH_FAULT_SENTINEL": str(sentinel),
+    })
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out["metric"] == "shingle_pairs_per_sec"
+    assert out["value"] > 0
+    assert out["degraded"] is False
+    assert out["backend"] == "cpu"
+    assert out["fault"][0]["stage"] == "sw"
+    assert out["fault"][0]["kind"] == "crash"
+    assert sentinel.exists()
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert details["capture_complete"] is True
+    done = details["stages_done"]
+    # the faulted stage AND everything after it completed on resume
+    for stage in ("kernel_engine", "kernel_exact", "cpu_oracle", "sw",
+                  "sharded", "lsh", "bucketed_small"):
+        assert stage in done, (stage, done)
+    assert len(details["fault"]) == 1
+    # no stale checkpoint left behind
+    assert not (tmp_path / "bench_details.partial.json").exists()
+
+
+def test_persistent_fault_finishes_on_cpu_fallback(tmp_path):
+    """A stage that dies on every non-fallback attempt (the tpu_only
+    fault mode models a sick backend): after two deaths the supervisor
+    relaunches pinned to CPU and the capture still completes, flagged
+    degraded with both faults recorded."""
+    r, out = _run_bench(tmp_path, {
+        "BENCH_FAULT_STAGE": "cpu_oracle",
+        "BENCH_FAULT_MODE": "tpu_only",
+    })
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out["value"] > 0
+    assert out["degraded"] is True
+    assert len(out["fault"]) == 2
+    assert [f["attempt"] for f in out["fault"]] == [1, 2]
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert details["capture_complete"] is True
+    assert "cpu_oracle" in details["stages_done"]
+    # the pre-fault stages were NOT re-run on the fallback attempt
+    assert details["stage_backends"]["kernel_engine"] == "cpu"
+
+
+def test_watchdog_kills_hung_stage_then_resumes(tmp_path):
+    """The tunnel's second failure mode is a silent hang, not a crash;
+    the supervisor's output watchdog must reap it and resume."""
+    sentinel = tmp_path / "hang_fired"
+    r, out = _run_bench(tmp_path, {
+        "BENCH_FAULT_STAGE": "kernel_exact",
+        "BENCH_FAULT_MODE": "hang_once",
+        "BENCH_FAULT_SENTINEL": str(sentinel),
+        "BENCH_WATCHDOG_S": "8",
+    })
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out["value"] > 0
+    assert out["degraded"] is False
+    assert out["fault"][0]["kind"] == "watchdog_hang"
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert details["capture_complete"] is True
+    assert "kernel_exact" in details["stages_done"]
+
+
+def test_quick_regression_failure_propagates(tmp_path):
+    """--quick still FAILS the process when the measured rate is below
+    the recorded floor (the re-armed guard, VERDICT r3 weak #1) — the
+    supervisor must not swallow a genuine regression verdict.  A tiny
+    interpret-mode run is guaranteed to be under the recorded TPU
+    floor."""
+    expected = REPO / "fandom_search_tpu" / "bench_expected.json"
+    assert json.loads(expected.read_text())[
+        "kernel_engine_pairs_per_sec"] > 130e9
+    r, out = _run_bench(tmp_path, {}, argv=["--quick"])
+    assert r.returncode == 1, (r.returncode, r.stderr[-2000:])
+    assert out["value"] > 0  # the line still emits, parsed, exit code 1
+    assert "FAIL" in r.stderr
