@@ -474,6 +474,17 @@ def run_capture(argv) -> int:
             interpret=interpret, min_keep=min_keep, q_transposed=True,
         )
 
+    # Kernel-stage dispatch burst: _time amortizes the host<->device
+    # sync RTT over `iters` dispatches.  The tunnel's RTT phases reach
+    # ~20 ms (measured 2026-08-19, scripts/fire_cost_probe.py): at the
+    # old iters=10 a 4 ms kernel read as 6 ms (-35%).  40 keeps the
+    # residual under 2%.  This is the honest basis — the engine
+    # pipelines batches without per-batch syncs — but it is a
+    # MEASUREMENT correction: r04+ kernel rates are not comparable to
+    # the r01-r03 records (BASELINE.md capture-era table).
+    kernel_iters = int(os.environ.get("BENCH_KERNEL_ITERS",
+                                      2 if probe_note else 40))
+
     _memo: dict = {}
 
     def get_ovals():
@@ -485,7 +496,7 @@ def run_capture(argv) -> int:
 
     # ---- config #2: fused distance+top-k kernel -------------------------
     def stage_kernel_engine():
-        dt = _time(jnp, lambda: run_kernel(thr))
+        dt = _time(jnp, lambda: run_kernel(thr), iters=kernel_iters)
         rate = nq * ns / dt
         # MXU utilization vs the v5e int8 peak (~394 TOPS): each pair
         # is dim MACs = 2*dim ops.  Context for the judge, not a
@@ -526,7 +537,8 @@ def run_capture(argv) -> int:
         return 0 if ok else 1
 
     def stage_kernel_exact():
-        dt = _time(jnp, lambda: run_kernel(-float("inf")))
+        dt = _time(jnp, lambda: run_kernel(-float("inf")),
+                   iters=kernel_iters)
         rate = nq * ns / dt
         log(f"kernel (exact top-k): {dt*1e3:.1f} ms "
             f"-> {rate/1e9:.2f} G pairs/s")
@@ -570,11 +582,15 @@ def run_capture(argv) -> int:
         la = np.full(B, w, np.int32)
         lb = np.full(B, mlt, np.int32)
         ad, bd = jnp.asarray(a), jnp.asarray(b)
+        # burst-amortized like the kernel stages (the engine dispatches
+        # verify inside the fused call, no per-batch sync): at iters=5
+        # a 20 ms RTT phase inflated an ~7 ms call to 11.4 ms (-35%)
         dt_sw = _time(
             jnp,
             lambda: sw_normalized_pallas(ad, bd, la, lb, cfg.search,
                                          interpret=interpret),
-            iters=5,
+            iters=int(os.environ.get("BENCH_SW_ITERS",
+                                     2 if probe_note else 20)),
         )
         d["sw_pairs_per_sec"] = B / dt_sw
         d["sw_cells_per_sec"] = B * w * mlt / dt_sw
@@ -1010,8 +1026,16 @@ def run_capture(argv) -> int:
                                interpret=interpret)
             # Warm with one FULL pass: compiles every stream bucket
             # the timed runs will use (full-cap batches + the final
-            # partial bucket) and settles the sticky budgets.
+            # partial bucket) and settles the sticky budgets.  Then
+            # re-compile every seen variant at the SETTLED budgets —
+            # budget growth mid-warm leaves early buckets stale, and
+            # rep 0 would pay a 36-52s remote recompile (the 46.6s
+            # first e2e rep of VERDICT r3 weak #5).
             rows0, _s0 = eng.search_works(works)
+            t0 = time.perf_counter()
+            nvar = eng.precompile_seen()
+            log(f"precompiled {nvar} fused variant(s) at settled "
+                f"budgets in {time.perf_counter()-t0:.1f}s")
             _memo["e2e"] = (lines, index, works, eng, rows0)
         return _memo["e2e"]
 

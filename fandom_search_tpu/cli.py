@@ -420,6 +420,17 @@ def _run_search(args, cfg, lines, index, works):
         rows, stats = search_works_oracle(works, index, cfg)
         return rows, dataclasses.asdict(stats)
     eng = _build_engine(args, cfg, index)
+    if getattr(args, "warm", False):
+        t0 = time.perf_counter()
+        # rough token estimate (~6 chars/word) caps the largest bucket
+        # warmed, so a small corpus doesn't compile the full-cap variant
+        est = sum(
+            len(t) if isinstance(t, str) else len(t.hashes)
+            for t in works.values()
+        ) // 6
+        n = eng.warm_buckets(max_queries=max(1, est))
+        print(f"warm: precompiled {n} stream bucket(s) in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
     if args.resume_dir:
         from fandom_search_tpu.search.runner import ResumableRunner
 
@@ -673,6 +684,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="work-unit dir for resumable runs")
     qp.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this dir")
+    qp.add_argument("--warm", action="store_true",
+                    help="pre-compile the smallest and full-cap stream "
+                         "buckets before the pass (compiles land in the "
+                         "persistent jit cache for later runs)")
     _add_search_flags(qp)
     qp.set_defaults(fn=cmd_search)
 

@@ -400,6 +400,257 @@ def _topk_kernel(
         )
 
 
+def _topk_kernel_rows(
+    ns_valid_ref,  # SMEM (1,) int32 — true NS before padding
+    q_ref,         # VMEM [TQ, D] int8 (or [D, TQ] when q_transposed)
+    s_ref,         # VMEM [TS, D] int8
+    vals_ref,      # VMEM [TQ, K] f32 out
+    idx_ref,       # VMEM [TQ, K] i32 out
+    run_ref,       # VMEM scratch [TQ, K] int32 — packed (score, col)
+    p_ref,         # VMEM scratch [TQ, TS] int32 — fallback packed tile
+    flag_ref,      # SMEM scratch (1,) int32 — loop continue flag
+    enter_ref,     # VMEM scratch [TQ, 1] int32 — pending entrant rows
+    prow_ref,      # VMEM scratch [1, TS] int32 — one packed score row
+    rrow_ref,      # VMEM scratch [1, K] int32 — one row of the run buffer
+    *,
+    k: int,
+    tile_s: int,
+    inv_dim: float,
+    compute: str,
+    min_keep: int,
+    q_transposed: bool,
+    max_rows: int,
+):
+    """Row-extraction merge (VERDICT r3 #5: the hit-dense regime).
+
+    The insert merge pays ~3 full [TQ, TS] traversals on every firing
+    tile, but at realistic quote density a firing tile has only 1-3
+    entrant ROWS (measured on the bench corpus: 81% of tiles fire with
+    exactly one entrant per row).  This variant gates like the insert
+    merge, then processes entrant rows ONE AT A TIME: the row's scores
+    are recomputed as two trivial one-hot MXU matmuls (never a dynamic
+    lane slice), packed into a [1, TS] scratch, and merged with a
+    [1, TS] kill loop — ~30x less VPU work per entrant than a full-
+    tile traversal.  After ``max_rows`` extractions any remaining
+    entrant rows (adversarially dense tiles) fall back to the exact
+    staged kill loop over the still-pending rows, so the variant is
+    exact at every density.
+
+    MEASURED NEGATIVE — kept as the logged A/B control (rejected
+    restructuring (g), 2026-08-19 device A/B, scripts/merge_rows_ab.py
+    with RTT-amortized timing): rows x0.24 vs insert at 1% plants
+    (23.7 vs 5.75 ms), x0.21 at 5%, parity exact at every density.
+    Two cuts were tried: (1) pl.when per extracted row + flag-gated
+    kill loop — every data-dependent predicate is a vector->scalar
+    sync; (2) this fully BRANCH-FREE version (exactly two predicates
+    per firing tile: the gate and the fallback check; no-op rows
+    degenerate arithmetically via an all-zero one-hot; sentinel no-op
+    inserts; unconditional kills).  Both lose for the same underlying
+    reason: per-row processing serializes ~k cross-lane reductions on
+    [1, TS] slices per entrant, and a cross-lane reduction is
+    latency-bound on the VPU — the full-tile insert merge amortizes
+    ONE reduction over 256 rows of parallel lanes.  The same A/B,
+    measured with per-dispatch syncs, also exposed that the round-3
+    "35.8 G hit-dense vs 133 G clean" figures were dominated by
+    ~20 ms/sync of tunnel RTT: amortized, the production insert merge
+    runs 261 G clean / 187 G at 1% plants / 175 G at 5% — the firing
+    tiles cost ~1.4x, not ~3.7x (scripts/fire_cost_probe.py ladder:
+    gate-noop 3.99 ms, m1-insert-only 4.69, full 5.72 at 1%).
+
+    Branch-free mechanics, for the record: an exhausted pending set
+    extracts mx=-1, whose one-hot is all-zero, so the whole row
+    pipeline (zero scores < min_keep, a no-row run-buffer mask)
+    degenerates to arithmetic no-ops; inserts use the sentinel no-op
+    identity max(run, min(shifted, SENTINEL)) = run; and the per-row
+    kill is unconditional (killing a non-entrant max is safe: every
+    later max is smaller and also fails the same test).
+
+    Exactness mirrors the insert merge: the gate / entrant criterion
+    compares raw scores against the pre-merge k-th (strict >), which
+    is exact because a later tile's equal score has a lower inv_col
+    and can never enter; row processing is independent per row (only
+    row r's k-th moves when row r inserts); the per-row kill loop is
+    the packed-arithmetic insert of _entrant_loop restricted to one
+    row, run a full k iterations.  Requires min_keep >= 1 (static
+    dispatch below): the padded-column reasoning of the insert fast
+    path AND the no-op-row degeneration (zero scores must fail the
+    min_keep test).
+    """
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    tq = run_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        run_ref[:] = jnp.full_like(run_ref[:], _PACK_SENTINEL)
+
+    q_dims = ((0,), (1,)) if q_transposed else ((1,), (1,))
+    if compute == "int8":
+        scores_i = jax.lax.dot_general(
+            q_ref[:], s_ref[:],
+            dimension_numbers=(q_dims, ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        scores_i = jax.lax.dot_general(
+            q_ref[:].astype(jnp.bfloat16), s_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(q_dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+    tile_base = j * tile_s
+    row_max = jnp.max(scores_i, axis=1, keepdims=True)
+    kth_score = jax.lax.shift_right_arithmetic(
+        run_ref[:, k - 1 : k], _COL_BITS
+    )
+    can_improve = jnp.any(
+        jnp.logical_and(row_max > kth_score, row_max >= jnp.int32(min_keep))
+    )
+
+    @pl.when(can_improve)
+    def _rows_merge():
+        # pending entrant rows, encoded DESCENDING (TQ-1-row) so a max
+        # reduce yields the lowest pending row; -1 = none/done
+        iota_desc = (
+            jnp.int32(tq - 1)
+            - jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+        )
+        enter_ref[:] = jnp.where(
+            jnp.logical_and(
+                row_max > kth_score, row_max >= jnp.int32(min_keep)
+            ),
+            iota_desc,
+            jnp.int32(-1),
+        )
+
+        def _one_row():
+            # rank-0: TQ-1-row of the next pending entrant; -1 = none,
+            # which degenerates every step below to an arithmetic no-op
+            mx = jnp.max(enter_ref[:])
+            r_v = jnp.int32(tq - 1) - mx
+            row_is_r = iota_desc == mx  # [TQ, 1]; all-false when mx=-1
+            # the row's scores via two one-hot MXU matmuls: the query
+            # row embedding, then its dots against the whole script
+            # tile — int8 inputs, exact int32 results, identical to
+            # the tile matmul's row.  mx=-1 -> all-zero one-hot ->
+            # zero scores, which fail min_keep >= 1 everywhere.
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, tq), 1) == r_v
+            ).astype(jnp.int8)
+            qrow = jax.lax.dot_general(
+                oh, q_ref[:],
+                dimension_numbers=(
+                    (((1,), (1,)) if q_transposed else ((1,), (0,))),
+                    ((), ()),
+                ),
+                preferred_element_type=jnp.int32,
+            )  # [1, D]
+            scores_row = jax.lax.dot_general(
+                qrow.astype(jnp.int8), s_ref[:],
+                dimension_numbers=((((1,), (1,))), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [1, TS]
+            inv_col = (
+                jnp.int32(_COL_MASK - tile_base)
+                - jax.lax.broadcasted_iota(jnp.int32, (1, tile_s), 1)
+            )
+            pr = scores_row * jnp.int32(1 << _COL_BITS) + inv_col
+            col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            prow_ref[:] = jnp.where(col_ok, pr, jnp.int32(_PACK_SENTINEL))
+            # row r of the run buffer into the [1, K] scratch (INT_MIN
+            # for the no-op row: nothing can enter past min_keep)
+            rrow_ref[:] = jnp.max(
+                jnp.where(row_is_r, run_ref[:], jnp.int32(-(2**31))),
+                axis=0, keepdims=True,
+            )
+            # per-row kill loop, branch-free: sentinel no-op inserts,
+            # unconditional kill of the max (a non-entrant max proves
+            # every remaining element is a non-entrant too)
+            for _ in range(k):
+                m = jnp.max(prow_ref[:])  # rank-0 packed max
+                m_score = jax.lax.shift_right_arithmetic(m, _COL_BITS)
+                rr = rrow_ref[:]
+                go = jnp.logical_and(
+                    m > rr[0, k - 1], m_score >= jnp.int32(min_keep)
+                )
+                mi = jnp.where(go, m, jnp.int32(_PACK_SENTINEL))
+                top = jnp.full((1, 1), jnp.int32(2**31 - 1))
+                shifted = jnp.concatenate([top, rr[:, : k - 1]], axis=1)
+                rrow_ref[:] = jnp.maximum(rr, jnp.minimum(shifted, mi))
+                prow_ref[:] = jnp.where(
+                    prow_ref[:] == m, jnp.int32(_PACK_SENTINEL),
+                    prow_ref[:],
+                )
+            # write the merged row back (no-op when mx=-1) and clear
+            # the row from the pending set
+            run_ref[:] = jnp.where(row_is_r, rrow_ref[:], run_ref[:])
+            enter_ref[:] = jnp.where(
+                row_is_r, jnp.int32(-1), enter_ref[:]
+            )
+
+        for _ in range(max_rows):
+            _one_row()
+
+        # adversarially dense tile (> max_rows entrant rows): stage the
+        # packed tile masked to the still-pending rows and run the
+        # exact kill loop (processed rows are fully merged already)
+        rem = jnp.max(enter_ref[:]) >= 0
+
+        @pl.when(rem)
+        def _fallback():
+            inv_col = (
+                jnp.int32(_COL_MASK - tile_base)
+                - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
+            )
+            p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
+            col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            p = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
+            p_ref[:] = jnp.where(
+                enter_ref[:] >= 0, p, jnp.int32(_PACK_SENTINEL)
+            )
+            flag_ref[0] = jnp.int32(1)
+            for _ in range(k):
+                @pl.when(flag_ref[0] == 1)
+                def _iter():
+                    m = jnp.max(p_ref[:], axis=1, keepdims=True)
+                    m_score = jax.lax.shift_right_arithmetic(m, _COL_BITS)
+                    enter = jnp.logical_and(
+                        m > run_ref[:, k - 1 : k],
+                        m_score >= jnp.int32(min_keep),
+                    )
+                    go = jnp.any(enter)
+
+                    @pl.when(go)
+                    def _insert():
+                        run = run_ref[:]
+                        mi = jnp.where(enter, m, jnp.int32(_PACK_SENTINEL))
+                        top = jnp.full((tq, 1), jnp.int32(2**31 - 1))
+                        shifted = jnp.concatenate(
+                            [top, run[:, : k - 1]], axis=1
+                        )
+                        run_ref[:] = jnp.maximum(
+                            run, jnp.minimum(shifted, mi)
+                        )
+                        p_ref[:] = jnp.where(
+                            p_ref[:] == m, jnp.int32(_PACK_SENTINEL),
+                            p_ref[:],
+                        )
+
+                    flag_ref[0] = go.astype(jnp.int32)
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        packed = run_ref[:]
+        score = jax.lax.shift_right_arithmetic(packed, _COL_BITS)
+        empty = packed == jnp.int32(_PACK_SENTINEL)
+        vals_ref[:] = jnp.where(
+            empty, NEG_INF, score.astype(jnp.float32) * inv_dim
+        )
+        idx_ref[:] = jnp.where(
+            empty, 0, jnp.int32(_COL_MASK) - (packed & jnp.int32(_COL_MASK))
+        )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -442,11 +693,12 @@ def topk_dot_pallas(
     81% of tiles fire): gate_cols 1/2/4 within noise, 8 worse — at
     realistic hit density every tile has an entrant ROW, so narrowing
     the columns only splits the same traversals.  Default stays 1."""
-    if merge not in ("insert", "insertloop", "rebuild"):
+    if merge not in ("insert", "insertloop", "rebuild", "rows"):
         # an unknown value would emit a kernel with NO merge branch,
         # returning the sentinel-initialized buffer as silent garbage
         raise ValueError(
-            f"merge must be 'insert', 'insertloop' or 'rebuild', got {merge!r}"
+            f"merge must be 'insert', 'insertloop', 'rebuild' or "
+            f"'rows', got {merge!r}"
         )
     if gate_cols is None:
         # repo-wide default, env-overridable so the recapture scripts
@@ -516,11 +768,51 @@ def topk_dot_pallas(
     else:
         min_keep_i = _PACK_SENTINEL
 
-    kernel = functools.partial(
-        _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim, compute=compute,
-        min_keep=min_keep_i, q_transposed=q_transposed, merge=merge,
-        gate_cols=gate_cols,
-    )
+    if merge == "rows" and min_keep_i < 1:
+        # the row path's padded-column/entrant reasoning needs
+        # min_keep >= 1 (like the insert fast path); exact-mode
+        # callers get the staged kill loop
+        merge = "insertloop"
+
+    if merge == "rows":
+        kernel = functools.partial(
+            _topk_kernel_rows, k=k, tile_s=tile_s, inv_dim=1.0 / dim,
+            compute=compute, min_keep=min_keep_i,
+            q_transposed=q_transposed, max_rows=_default_merge_rows_max(),
+        )
+        scratch_shapes = [
+            pltpu.VMEM((tile_q, k), jnp.int32),        # run buffer
+            pltpu.VMEM((tile_q, tile_s), jnp.int32),   # fallback packed
+            pltpu.SMEM((1,), jnp.int32),               # kill-loop flag
+            pltpu.VMEM((tile_q, 1), jnp.int32),        # pending rows
+            pltpu.VMEM((1, tile_s), jnp.int32),        # packed score row
+            pltpu.VMEM((1, k), jnp.int32),             # run-buffer row
+        ]
+    else:
+        kernel = functools.partial(
+            _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim,
+            compute=compute, min_keep=min_keep_i,
+            q_transposed=q_transposed, merge=merge, gate_cols=gate_cols,
+        )
+        scratch_shapes = [
+            pltpu.VMEM((tile_q, k), jnp.int32),
+            # the rebuild merge keeps its packed tile in registers;
+            # only the kill-loop merges need the packed scratch —
+            # one column BLOCK wide on the sub-gated fast path
+            # (gate_cols > 1 shrinks it, freeing VMEM for tiles)
+            pltpu.VMEM(
+                (
+                    tile_q,
+                    tile_s // gate_cols
+                    if min_keep_i >= 1 and merge == "insert"
+                    else tile_s,
+                )
+                if merge in ("insert", "insertloop")
+                else (8, 128),
+                jnp.int32,
+            ),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
     ns_valid_arr = jnp.asarray(ns_valid, dtype=jnp.int32).reshape((1,))
 
     q_spec = (
@@ -541,25 +833,7 @@ def topk_dot_pallas(
                 pl.BlockSpec((tile_q, k), lambda i, j, ns_ref: (i, 0)),
                 pl.BlockSpec((tile_q, k), lambda i, j, ns_ref: (i, 0)),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((tile_q, k), jnp.int32),
-                # the rebuild merge keeps its packed tile in registers;
-                # only the kill-loop merges need the packed scratch —
-                # one column BLOCK wide on the sub-gated fast path
-                # (gate_cols > 1 shrinks it, freeing VMEM for tiles)
-                pltpu.VMEM(
-                    (
-                        tile_q,
-                        tile_s // gate_cols
-                        if min_keep_i >= 1 and merge == "insert"
-                        else tile_s,
-                    )
-                    if merge in ("insert", "insertloop")
-                    else (8, 128),
-                    jnp.int32,
-                ),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((nq, k), jnp.float32),
@@ -573,6 +847,18 @@ def topk_dot_pallas(
         interpret=interpret,
     )(ns_valid_arr, q_emb, s_emb)
     return vals, idx
+
+
+@functools.lru_cache(maxsize=1)
+def _default_merge_rows_max() -> int:
+    """Entrant rows extracted per tile before the rows merge falls back
+    to the full-tile staged kill loop (FS_MERGE_ROWS_MAX env override
+    for on-device A/B).  At the bench corpus's 1% plant density a
+    firing tile has 1-3 entrant rows; 8 covers it with margin while
+    bounding unrolled code size."""
+    import os
+
+    return max(1, int(os.environ.get("FS_MERGE_ROWS_MAX", "8")))
 
 
 @functools.lru_cache(maxsize=1)

@@ -70,6 +70,28 @@ keeps the verify-batch length sort either way: homogeneous tiles are
 what let the per-tile trip bound hug the true work bound.
 The r2 op count per step is 3 lane-rolls + ~12 elementwise + 3
 stores; fast deletes 2 of the stores.
+
+Round-4 notes:
+  * (g) threshold-aware early exit (VERDICT r3 #7: stop when
+    best_possible(remaining diagonals)/denom < verify_threshold) is an
+    ANALYTICAL negative for this kernel, rejected before device time:
+    SW is a LOCAL alignment, so a scoring run can start at any (i, j)
+    and the tightest row-level future bound at diagonal d is
+    match * min(la, lb, la+lb-1-d) — it only drops below
+    thr * match * min(la, lb) in the last ~thr*min(la, lb) diagonals.
+    For zero-signal full-window pairs (la = lb = 64, thr = 0.35) that
+    is <= 17% of steps; in the engine's real regime (64-token fan
+    window vs 5-20-token script lines, length-sorted tiles) the
+    dynamic trip bound has already cut the tail and the provable-dead
+    window is ~3% — before paying a [TB, LB] reduce + SMEM flag per
+    check.  A GLOBAL-alignment verifier could exit early; a local one
+    cannot.
+  * Measurement correction (see BASELINE.md round-4 section): the
+    recorded 2.9-3.6 G cells/s across rounds 1-3 carried ~RTT/5 of
+    per-sync tunnel overhead (bench timed SW with 5-dispatch bursts
+    during ~20 ms RTT phases).  bench.py now times a 20-dispatch
+    burst; the "flat across rounds" story was partly the measurement
+    floor, not the kernel.
 """
 
 from __future__ import annotations

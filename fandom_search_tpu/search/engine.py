@@ -260,6 +260,15 @@ class SearchEngine:
         # LSH prefilter, which swap individual stages.
         self._use_fused = True
 
+        # Fused-call variants seen so far: (kind, t_pad, p_pad, nspans).
+        # A variant's compiled executable is ALSO keyed on the sticky
+        # budgets, which grow mid-run on a fresh corpus — buckets that
+        # ran before the last growth are stale compiles, and the next
+        # pass pays a full recompile for them (measured 36-52s on the
+        # remote-compile tunnel: the 46.6s first e2e rep of VERDICT r3
+        # weak #5/#8).  precompile_seen() closes the gap.
+        self._seen_variants: dict = {}
+
         self._candidates_fn = functools.partial(
             _candidates_jit,
             k=xcfg.k,
@@ -630,6 +639,82 @@ class SearchEngine:
             use_pallas=self.use_pallas, interpret=self.interpret,
         )
 
+    def precompile_seen(self) -> int:
+        """Compile every fused-call variant seen so far at the CURRENT
+        sticky budgets, on synthetic no-match streams.
+
+        Call after a first full pass: budget growth during that pass
+        leaves earlier stream buckets compiled at stale budgets, and
+        the next pass would pay a fresh XLA compile (~36-52s on a
+        remote-compile tunnel) for each on its timed path.  The
+        synthetic stream is a distinct-token iota pattern — no
+        candidates, so budgets cannot bump — and the compiles land in
+        the persistent jit cache for future processes.  Returns the
+        number of variants invoked."""
+        n = self.cfg.shingle.n
+        count = 0
+        for kind, t_pad, p_pad, nspans in list(self._seen_variants):
+            if kind == "raw":
+                ext = np.zeros((t_pad + 2 * nspans,), dtype=np.uint32)
+                ext[:t_pad] = (
+                    np.arange(t_pad, dtype=np.uint64) * 2654435761
+                ).astype(np.uint32)
+                sp = ext[t_pad:]
+                sp[:nspans] = 1 << 30
+                sp[0] = 0
+                sp[nspans] = t_pad - (n - 1)
+                out = self._fused_call(
+                    jnp.asarray(ext), nspans,
+                    self._cand_budget, self._verify_budget,
+                )
+            else:
+                # enc layout (see _encode_payload): [packed u16 ids |
+                # patch pos (t_pad = dropped by the decode scatter) |
+                # patch hash | span table]; zero ids decode to one
+                # repeated table word — nonsense, no candidates
+                h = (t_pad + 1) // 2
+                c_ext = np.zeros(
+                    (h + 2 * p_pad + 2 * nspans,), dtype=np.uint32
+                )
+                c_ext[h : h + p_pad] = t_pad
+                sp = c_ext[h + 2 * p_pad :]
+                sp[:nspans] = 1 << 30
+                sp[0] = 0
+                sp[nspans] = t_pad - (n - 1)
+                out = self._fused_call_enc(
+                    jnp.asarray(c_ext), t_pad, p_pad, nspans,
+                    self._cand_budget, self._verify_budget,
+                )
+            np.asarray(out)  # sync so the compile happens HERE
+            count += 1
+        return count
+
+    def warm_buckets(self, max_queries: int | None = None) -> int:
+        """Pre-compile the smallest and largest-needed stream buckets
+        at the current (default) budgets before a first search — the
+        batch-CLI `--warm` (VERDICT r3 #8).
+
+        ``max_queries`` (an estimate of the corpus's total query
+        tokens) caps the largest bucket warmed: without it the
+        full-cap (2^20-token) fused variant compiles, which costs
+        minutes once on a remote-compile tunnel and is pure waste for
+        a small corpus.  Best-effort either way: the span-table width
+        of a real batch depends on work sizes (nspans floor 512,
+        doubles for small-work corpora), and a quote-dense corpus may
+        still grow the budgets mid-run; with the persistent jit cache
+        both residuals are one-time costs per corpus shape."""
+        cap = self.cfg.search.batch_queries
+        n = self.cfg.shingle.n
+        g = min(self._batch_granule, cap)
+        big = g
+        while big < min(max_queries or cap, cap):
+            big *= 2
+        big = min(big, cap)
+        for bucket in {g, big}:
+            key = ("raw", bucket + n - 1, 0, 512)
+            self._seen_variants.setdefault(key, True)
+        return self.precompile_seen()
+
     def _submit_fused(self, payload, spans, stats: EngineStats):
         t0 = time.perf_counter()
         if payload[0] == "enc":
@@ -641,10 +726,12 @@ class SearchEngine:
             call = functools.partial(
                 self._fused_call_enc, c_dev, t_pad, p_pad, nspans
             )
+            self._seen_variants[("enc", t_pad, p_pad, nspans)] = True
         else:
             _, ext, t_pad, nspans = payload
             ext_dev = jnp.asarray(ext)  # ONE upload per batch
             call = functools.partial(self._fused_call, ext_dev, nspans)
+            self._seen_variants[("raw", t_pad, 0, nspans)] = True
         out = call(self._cand_budget, self._verify_budget)
         stats.seconds_device_topk += time.perf_counter() - t0
         return call, spans, nspans, self._cand_budget, self._verify_budget, out

@@ -318,3 +318,64 @@ def test_gate_cols_validation():
             q, s, 2048, K, DIM, tile_s=2048, interpret=True,
             min_keep=3.5, gate_cols=3,
         )
+
+
+def test_rows_merge_equals_insert_merge(rng):
+    """The round-4 row-extraction merge (VERDICT r3 #5) must reproduce
+    the insert merge's above-threshold prefix at every density: sparse
+    (one entrant per firing tile — the one-hot fast path), dense
+    (multi-entrant rows + more entrant rows than max_rows, forcing the
+    staged-fallback branch), and with repeated script regions (packed
+    tie-breaking through the per-row kill loop)."""
+    from fandom_search_tpu.config import ShingleConfig
+    from fandom_search_tpu.data.shingler import embed_shingles_np
+    from fandom_search_tpu.ops.distance_topk import (
+        pad_rows, topk_dot_pallas,
+    )
+
+    scfg = ShingleConfig()
+    nq, ns = 512, 4096
+    s_stream = rng.integers(0, 2**32, size=ns + scfg.n - 1, dtype=np.uint32)
+    s_stream[100:130] = s_stream[100]  # repeated script region -> ties
+    s_emb = embed_shingles_np(s_stream, scfg)
+    import jax.numpy as jnp
+
+    sp, nsv = pad_rows(jnp.asarray(s_emb), 512)
+    for stride, mk in ((101, 3.5), (3, 3.5), (3, 1.0 / DIM)):
+        q_stream = rng.integers(
+            0, 2**32, size=nq + scfg.n - 1, dtype=np.uint32
+        )
+        for qi in range(0, nq, stride):
+            si = int(rng.integers(0, ns - 20))
+            q_stream[qi : qi + scfg.n] = s_stream[si : si + scfg.n]
+        q_emb = embed_shingles_np(q_stream, scfg)
+        qt = jnp.asarray(np.ascontiguousarray(q_emb.T))
+        vi, ii = topk_dot_pallas(
+            qt, sp, nsv, K, DIM, tile_s=512, interpret=True,
+            min_keep=mk, q_transposed=True, merge="insert",
+        )
+        vr, ir = topk_dot_pallas(
+            qt, sp, nsv, K, DIM, tile_s=512, interpret=True,
+            min_keep=mk, q_transposed=True, merge="rows",
+        )
+        vi, ii, vr, ir = (np.asarray(x) for x in (vi, ii, vr, ir))
+        keep_i, keep_r = vi >= mk, vr >= mk
+        np.testing.assert_array_equal(keep_i, keep_r)
+        np.testing.assert_array_equal(vi[keep_i], vr[keep_r])
+        np.testing.assert_array_equal(ii[keep_i], ir[keep_r])
+        assert keep_i.sum() > (20 if stride > 50 else 50)
+
+    # exact mode routes rows -> insertloop statically; must equal insert
+    q_emb = embed_shingles_np(
+        rng.integers(0, 2**32, size=nq + scfg.n - 1, dtype=np.uint32), scfg
+    )
+    vi, ii = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+        interpret=True, min_keep=-float("inf"), merge="insert",
+    )
+    vr, ir = topk_dot_pallas(
+        jnp.asarray(q_emb), sp, nsv, K, DIM, tile_s=512,
+        interpret=True, min_keep=-float("inf"), merge="rows",
+    )
+    np.testing.assert_array_equal(np.asarray(vi), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(ii), np.asarray(ir))

@@ -395,3 +395,33 @@ def test_recall_curve_over_edit_distance():
     }
     rows, _ = eng.search_works(noise_works)
     assert rows == [], f"noise produced {len(rows)} spurious rows"
+
+
+def test_precompile_seen_and_warm_buckets(world):
+    """precompile_seen() re-invokes every fused variant seen so far on
+    a synthetic no-match stream (VERDICT r3 #8: budget growth mid-pass
+    leaves early buckets compiled at stale budgets; the next pass paid
+    a 36-52s remote recompile).  It must not change results or grow
+    the budgets; warm_buckets() pre-compiles the smallest and full-cap
+    buckets before any search."""
+    works, planted, index = world
+    eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    rows1, _ = eng.search_works(works)
+    assert eng._seen_variants  # the pass recorded its fused variants
+    cand0, ver0 = eng._cand_budget, eng._verify_budget
+    n = eng.precompile_seen()
+    assert n == len(eng._seen_variants) >= 1
+    # synthetic streams must not bump the sticky budgets
+    assert (eng._cand_budget, eng._verify_budget) == (cand0, ver0)
+    rows2, _ = eng.search_works(works)
+    assert {_row_key(r) for r in rows1} == {_row_key(r) for r in rows2}
+
+    # small batch cap so warm_buckets' full-cap compile stays fast in
+    # interpret mode (the real cap is a 2^20-token stream)
+    cfg_small = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, batch_queries=1 << 14)
+    )
+    eng2 = SearchEngine(index, cfg_small, use_pallas=True, interpret=True)
+    assert eng2.warm_buckets() >= 1
+    rows3, _ = eng2.search_works(works)
+    assert {_row_key(r) for r in rows1} == {_row_key(r) for r in rows3}
