@@ -32,6 +32,12 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
                    help="top-k per query shingle (default 10)")
     p.add_argument("--shingle-n", type=int, default=None,
                    help="words per shingle (default 6; index-bound)")
+    p.add_argument("--shingle-dim", type=int, default=None,
+                   help="embedding lanes per shingle (default 128; "
+                        "index-bound).  256 halves the overlap "
+                        "estimator's noise sd for +12%% kernel time — "
+                        "recall-critical deployments; DESIGN.md §2 "
+                        "round-4 study)")
     p.add_argument(
         "--candidate-threshold", type=float, default=None,
         help="min estimated matching words (of n) to keep a candidate "
@@ -172,9 +178,12 @@ def _pipeline_config(args) -> "PipelineConfig":
 
     from fandom_search_tpu.config import BucketedConfig
 
-    shingle = ShingleConfig() if args.shingle_n is None else ShingleConfig(
-        n=args.shingle_n
-    )
+    sh_kw = {}
+    if args.shingle_n is not None:
+        sh_kw["n"] = args.shingle_n
+    if getattr(args, "shingle_dim", None) is not None:
+        sh_kw["dim"] = args.shingle_dim
+    shingle = ShingleConfig(**sh_kw)
     bucketed = BucketedConfig() if args.bucketed_pairs is None else (
         BucketedConfig(pairs=args.bucketed_pairs)
     )
@@ -198,6 +207,13 @@ def _overlay_runtime(cfg: "PipelineConfig", args) -> "PipelineConfig":
         print(
             f"warning: --shingle-n {args.shingle_n} ignored; the loaded "
             f"index was built with n={cfg.shingle.n}",
+            file=sys.stderr,
+        )
+    if (getattr(args, "shingle_dim", None) is not None
+            and args.shingle_dim != cfg.shingle.dim):
+        print(
+            f"warning: --shingle-dim {args.shingle_dim} ignored; the "
+            f"loaded index was built with dim={cfg.shingle.dim}",
             file=sys.stderr,
         )
     over = _runtime_overrides(args)

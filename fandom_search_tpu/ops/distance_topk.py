@@ -71,21 +71,34 @@ def topk_dot_jnp(
 
 
 # Packed-selection constants: a candidate is one int32
-#   packed = score * 2^17 + (2^17 - 1 - global_col)
+#   packed = score * 2^col_bits + (2^col_bits - 1 - global_col)
 # monotone in (score asc, col desc), so a single max() implements
 # "highest score, lowest column wins ties" and every (score, col) is
 # unique — each selection pass is max / compare-equal / select with no
-# concatenations.  global_col < 2^17 is enforced by column chunking;
-# the score budget is |score| <= 8191: above that the positive side
-# overflows int32 (score*2^17 + col at 16383) and the negative side
-# collides with the sentinel (-8192 * 2^17 == _PACK_SENTINEL exactly).
-# The default embedding spec (n=6, dim=128) bounds |score| by
-# n^2*dim = 4608; callers with wider configs pass max_abs_score and
+# concatenations.  global_col < 2^col_bits is enforced by column
+# chunking; the score budget is |score| <= 2^(30-col_bits) - 1: above
+# that the positive side overflows int32 and the negative side
+# collides with the sentinel (-2^(30-col_bits) * 2^col_bits ==
+# _PACK_SENTINEL exactly).  col_bits ADAPTS to the caller's
+# max_abs_score (round-4, VERDICT r3 #6): the default 17 bits covers
+# the n=6/dim=128 spec (|score| <= n^2*dim = 4608 <= 8191); wider
+# embeddings trade column bits for score bits (dim=256 -> 16 bits,
+# dim=512 -> 15, dim=1024 -> 14 — column chunking transparently
+# covers the narrower column field).  Beyond 14 bits' budget (65535)
 # the wrapper falls back to an exact unpacked path.
 _COL_BITS = 17
-_COL_MASK = (1 << _COL_BITS) - 1
+_MIN_COL_BITS = 14
 _PACK_SENTINEL = -(1 << 30)  # below any real packed value
-_PACK_MAX_SCORE = 8191
+_PACK_MAX_SCORE = (1 << (30 - _MIN_COL_BITS)) - 1
+
+
+def _col_bits_for(max_abs_score: int) -> int:
+    """Narrowest-score column field fitting the caller's score bound
+    (prefer MORE column bits: fewer chunks at huge NS)."""
+    cb = _COL_BITS
+    while cb > _MIN_COL_BITS and max_abs_score > (1 << (30 - cb)) - 1:
+        cb -= 1
+    return cb
 
 
 def _topk_kernel(
@@ -106,7 +119,9 @@ def _topk_kernel(
     q_transposed: bool,
     merge: str,
     gate_cols: int,
+    col_bits: int = _COL_BITS,
 ):
+    cmask = (1 << col_bits) - 1
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
@@ -162,7 +177,7 @@ def _topk_kernel(
 
     def _kth_score():
         return jax.lax.shift_right_arithmetic(
-            run_ref[:, k - 1 : k], _COL_BITS
+            run_ref[:, k - 1 : k], col_bits
         )
 
     kth_score = _kth_score()
@@ -177,11 +192,11 @@ def _topk_kernel(
             # max over p and run k times, then concat.  ~6 elementwise
             # [TQ, TS] ops per pass x k passes.
             inv_col = (
-                jnp.int32(_COL_MASK - tile_base)
+                jnp.int32(cmask - tile_base)
                 - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
             )
-            p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
-            col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            p = scores_i * jnp.int32(1 << col_bits) + inv_col
+            col_ok = inv_col > jnp.int32(cmask) - ns_valid_ref[0]
             p = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
             run = run_ref[:]
             outs = []
@@ -197,12 +212,12 @@ def _topk_kernel(
 
     def _pack_tile():
         inv_col = (
-            jnp.int32(_COL_MASK - tile_base)
+            jnp.int32(cmask - tile_base)
             - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
         )
-        p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
+        p = scores_i * jnp.int32(1 << col_bits) + inv_col
         # mask padded columns (col >= ns_valid  <=>  inv_col too small)
-        col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+        col_ok = inv_col > jnp.int32(cmask) - ns_valid_ref[0]
         return jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
 
     def _entrant_loop(iters: int):
@@ -217,7 +232,7 @@ def _topk_kernel(
             @pl.when(flag_ref[0] == 1)
             def _iter():
                 m = jnp.max(p_ref[:], axis=1, keepdims=True)  # [TQ, 1]
-                m_score = jax.lax.shift_right_arithmetic(m, _COL_BITS)
+                m_score = jax.lax.shift_right_arithmetic(m, col_bits)
                 enter = jnp.logical_and(
                     m > run_ref[:, k - 1 : k],
                     m_score >= jnp.int32(min_keep),
@@ -288,7 +303,7 @@ def _topk_kernel(
 
         def inv_iota():
             return (
-                jnp.int32(_COL_MASK - tile_base - base)
+                jnp.int32(cmask - tile_base - base)
                 - jax.lax.broadcasted_iota(jnp.int32, (tq, width), 1)
             )
 
@@ -305,7 +320,7 @@ def _topk_kernel(
             jnp.where(scores_b == rmax_b, inv_iota(), jnp.int32(-1)),
             axis=1, keepdims=True,
         )                                                   # [TQ, 1]
-        m1p = rmax_b * jnp.int32(1 << _COL_BITS) + inv1
+        m1p = rmax_b * jnp.int32(1 << col_bits) + inv1
         elig1 = jnp.logical_and(
             jnp.logical_and(rmax_b >= jnp.int32(min_keep), inv1 >= 0),
             m1p > kth,
@@ -326,7 +341,7 @@ def _topk_kernel(
         # masked by the score test)
         need2 = jnp.logical_and(
             s2 >= jnp.int32(min_keep),
-            s2 * jnp.int32(1 << _COL_BITS) + jnp.int32(_COL_MASK) > kth,
+            s2 * jnp.int32(1 << col_bits) + jnp.int32(cmask) > kth,
         )
 
         @pl.when(jnp.any(need2))
@@ -336,8 +351,8 @@ def _topk_kernel(
             # (m1 was either inserted or can never enter later — the
             # k-th only rises — so excluding its column stays exact)
             inv = inv_iota()
-            pm = scores_b * jnp.int32(1 << _COL_BITS) + inv
-            col_ok = inv > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            pm = scores_b * jnp.int32(1 << col_bits) + inv
+            col_ok = inv > jnp.int32(cmask) - ns_valid_ref[0]
             pm = jnp.where(col_ok, pm, jnp.int32(_PACK_SENTINEL))
             p_ref[:] = jnp.where(
                 inv != inv1, pm, jnp.int32(_PACK_SENTINEL)
@@ -390,13 +405,13 @@ def _topk_kernel(
     @pl.when(j == nj - 1)
     def _emit():
         packed = run_ref[:]
-        score = jax.lax.shift_right_arithmetic(packed, _COL_BITS)
+        score = jax.lax.shift_right_arithmetic(packed, col_bits)
         empty = packed == jnp.int32(_PACK_SENTINEL)
         vals_ref[:] = jnp.where(
             empty, NEG_INF, score.astype(jnp.float32) * inv_dim
         )
         idx_ref[:] = jnp.where(
-            empty, 0, jnp.int32(_COL_MASK) - (packed & jnp.int32(_COL_MASK))
+            empty, 0, jnp.int32(cmask) - (packed & jnp.int32(cmask))
         )
 
 
@@ -420,6 +435,7 @@ def _topk_kernel_rows(
     min_keep: int,
     q_transposed: bool,
     max_rows: int,
+    col_bits: int = _COL_BITS,
 ):
     """Row-extraction merge (VERDICT r3 #5: the hit-dense regime).
 
@@ -476,6 +492,7 @@ def _topk_kernel_rows(
     path AND the no-op-row degeneration (zero scores must fail the
     min_keep test).
     """
+    cmask = (1 << col_bits) - 1
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     tq = run_ref.shape[0]
@@ -501,7 +518,7 @@ def _topk_kernel_rows(
     tile_base = j * tile_s
     row_max = jnp.max(scores_i, axis=1, keepdims=True)
     kth_score = jax.lax.shift_right_arithmetic(
-        run_ref[:, k - 1 : k], _COL_BITS
+        run_ref[:, k - 1 : k], col_bits
     )
     can_improve = jnp.any(
         jnp.logical_and(row_max > kth_score, row_max >= jnp.int32(min_keep))
@@ -551,11 +568,11 @@ def _topk_kernel_rows(
                 preferred_element_type=jnp.int32,
             )  # [1, TS]
             inv_col = (
-                jnp.int32(_COL_MASK - tile_base)
+                jnp.int32(cmask - tile_base)
                 - jax.lax.broadcasted_iota(jnp.int32, (1, tile_s), 1)
             )
-            pr = scores_row * jnp.int32(1 << _COL_BITS) + inv_col
-            col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            pr = scores_row * jnp.int32(1 << col_bits) + inv_col
+            col_ok = inv_col > jnp.int32(cmask) - ns_valid_ref[0]
             prow_ref[:] = jnp.where(col_ok, pr, jnp.int32(_PACK_SENTINEL))
             # row r of the run buffer into the [1, K] scratch (INT_MIN
             # for the no-op row: nothing can enter past min_keep)
@@ -568,7 +585,7 @@ def _topk_kernel_rows(
             # every remaining element is a non-entrant too)
             for _ in range(k):
                 m = jnp.max(prow_ref[:])  # rank-0 packed max
-                m_score = jax.lax.shift_right_arithmetic(m, _COL_BITS)
+                m_score = jax.lax.shift_right_arithmetic(m, col_bits)
                 rr = rrow_ref[:]
                 go = jnp.logical_and(
                     m > rr[0, k - 1], m_score >= jnp.int32(min_keep)
@@ -599,11 +616,11 @@ def _topk_kernel_rows(
         @pl.when(rem)
         def _fallback():
             inv_col = (
-                jnp.int32(_COL_MASK - tile_base)
+                jnp.int32(cmask - tile_base)
                 - jax.lax.broadcasted_iota(jnp.int32, (tq, tile_s), 1)
             )
-            p = scores_i * jnp.int32(1 << _COL_BITS) + inv_col
-            col_ok = inv_col > jnp.int32(_COL_MASK) - ns_valid_ref[0]
+            p = scores_i * jnp.int32(1 << col_bits) + inv_col
+            col_ok = inv_col > jnp.int32(cmask) - ns_valid_ref[0]
             p = jnp.where(col_ok, p, jnp.int32(_PACK_SENTINEL))
             p_ref[:] = jnp.where(
                 enter_ref[:] >= 0, p, jnp.int32(_PACK_SENTINEL)
@@ -613,7 +630,7 @@ def _topk_kernel_rows(
                 @pl.when(flag_ref[0] == 1)
                 def _iter():
                     m = jnp.max(p_ref[:], axis=1, keepdims=True)
-                    m_score = jax.lax.shift_right_arithmetic(m, _COL_BITS)
+                    m_score = jax.lax.shift_right_arithmetic(m, col_bits)
                     enter = jnp.logical_and(
                         m > run_ref[:, k - 1 : k],
                         m_score >= jnp.int32(min_keep),
@@ -641,13 +658,13 @@ def _topk_kernel_rows(
     @pl.when(j == nj - 1)
     def _emit():
         packed = run_ref[:]
-        score = jax.lax.shift_right_arithmetic(packed, _COL_BITS)
+        score = jax.lax.shift_right_arithmetic(packed, col_bits)
         empty = packed == jnp.int32(_PACK_SENTINEL)
         vals_ref[:] = jnp.where(
             empty, NEG_INF, score.astype(jnp.float32) * inv_dim
         )
         idx_ref[:] = jnp.where(
-            empty, 0, jnp.int32(_COL_MASK) - (packed & jnp.int32(_COL_MASK))
+            empty, 0, jnp.int32(cmask) - (packed & jnp.int32(cmask))
         )
 
 
@@ -683,7 +700,10 @@ def topk_dot_pallas(
     [D, NQ] — the lane-major layout ops/embed.py emits — avoiding any
     relayout between embedding and matmul.  ``max_abs_score`` is the
     caller's bound on the raw integer dot (n^2 * dim for the shingle
-    embedding); beyond the int32 packing budget the wrapper runs an
+    embedding); past the default 17-column-bit budget (8191) the
+    packing trades column bits for score bits (dim=256 -> 16 bits,
+    512 -> 15, 1024 -> 14 — column chunking covers the narrower
+    field), and beyond the 14-bit budget (65535) the wrapper runs an
     exact unpacked top-k instead (correct, slower — measured wrong
     answers at dim>=256 without this).  ``gate_cols`` splits each tile
     into that many column blocks with independent merge gates
@@ -733,12 +753,15 @@ def topk_dot_pallas(
         vals, idx = jax.lax.top_k(scores, k)
         return vals / dim, idx.astype(jnp.int32)
 
-    max_cols = 1 << _COL_BITS
+    col_bits = _col_bits_for(max_abs_score)
+    max_cols = 1 << col_bits
     if ns > max_cols:
-        # Column-chunk: the packed (score, col) selection carries 17
-        # column bits.  Run the kernel per 2^17-column chunk and merge
-        # the tiny per-chunk top-k tables with lax.top_k (chunk order
-        # ascending keeps lowest-index tie-breaking).
+        # Column-chunk: the packed (score, col) selection carries
+        # col_bits column bits (17 at the default spec; fewer when the
+        # score bound demands it).  Run the kernel per 2^col_bits-
+        # column chunk and merge the tiny per-chunk top-k tables with
+        # lax.top_k (chunk order ascending keeps lowest-index
+        # tie-breaking).
         vs, ids = [], []
         for c0 in range(0, ns, max_cols):
             s_c = s_emb[c0 : c0 + max_cols]
@@ -779,6 +802,7 @@ def topk_dot_pallas(
             _topk_kernel_rows, k=k, tile_s=tile_s, inv_dim=1.0 / dim,
             compute=compute, min_keep=min_keep_i,
             q_transposed=q_transposed, max_rows=_default_merge_rows_max(),
+            col_bits=col_bits,
         )
         scratch_shapes = [
             pltpu.VMEM((tile_q, k), jnp.int32),        # run buffer
@@ -793,6 +817,7 @@ def topk_dot_pallas(
             _topk_kernel, k=k, tile_s=tile_s, inv_dim=1.0 / dim,
             compute=compute, min_keep=min_keep_i,
             q_transposed=q_transposed, merge=merge, gate_cols=gate_cols,
+            col_bits=col_bits,
         )
         scratch_shapes = [
             pltpu.VMEM((tile_q, k), jnp.int32),

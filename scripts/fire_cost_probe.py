@@ -42,9 +42,10 @@ def main():
     from fandom_search_tpu.config import ShingleConfig
     from fandom_search_tpu.data.shingler import embed_shingles_np
     from fandom_search_tpu.ops.distance_topk import (
-        _COL_BITS, _COL_MASK, _PACK_SENTINEL,
+        _COL_BITS, _PACK_SENTINEL,
         engine_tiles, pad_rows, topk_dot_pallas,
     )
+    _COL_MASK = (1 << _COL_BITS) - 1
 
     scfg = ShingleConfig()
     nq, ns = 1 << lnq, 1 << lns
