@@ -45,7 +45,8 @@ record; everything else goes to stderr + bench_details.json.
 Env knobs: BENCH_NQ, BENCH_NS, BENCH_CPU_NQ, BENCH_SW_B, BENCH_E2E_WORKS,
 BENCH_CPU_E2E_WORKS, BENCH_SKIP_E2E=1, BENCH_BIG_NS, BENCH_HUGE_NS,
 BENCH_ZIPF_NS, BENCH_ENGLISH_NS, BENCH_ENGLISH_HUGE_NS,
-BENCH_SCALE_WORKS, BENCH_NO_PROBE=1 (skip the hung-tunnel device
+BENCH_E2E_BIG_SHINGLES / BENCH_E2E_BIG_WORKS (flagship-scale bucketed
+e2e parity stage; 0 skips), BENCH_SCALE_WORKS, BENCH_NO_PROBE=1 (skip the hung-tunnel device
 probe), BENCH_PROBE_TIMEOUT (seconds, default 120),
 BENCH_WATCHDOG_S (supervisor kills a child silent this long, 900),
 BENCH_CPU=1 (pin the CPU backend without flagging the capture
@@ -1159,6 +1160,108 @@ def run_capture(argv) -> int:
                 "is the parity attestation, not wall-clock]")
 
         cap.run("bucketed_e2e_parity", stage_bucketed_e2e)
+
+        # ---- bucketed e2e at FLAGSHIP index scale (VERDICT r3 #3) ------
+        # The small-script parity stage attests the engine wiring; this
+        # one attests the headline claim where it actually lives: a
+        # whole-franchise script index (2^20 shingles, English-like
+        # Zipf skew) searched end-to-end with the hybrid `pairs="all"`
+        # bucketed prefilter — final MatchRow set must equal the exact
+        # fused path's (candidate misses are <=1-match embedding noise
+        # that SW verification rejects downstream; DESIGN.md §4.4), and
+        # at this index size the sub-linear path should also WIN
+        # wall-clock end-to-end.  Healthy backends only: four full
+        # passes against a 2^20-shingle index would take hours in
+        # interpret mode.
+        big_e2e_shingles = int(os.environ.get(
+            "BENCH_E2E_BIG_SHINGLES", 0 if probe_note else 1 << 20))
+        big_e2e_works = int(os.environ.get("BENCH_E2E_BIG_WORKS", 480))
+
+        def stage_bucketed_e2e_big():
+            import dataclasses as _dc
+
+            from fandom_search_tpu.data.script_parser import parse_script
+            from fandom_search_tpu.ops.bucketed import (
+                attach_bucketed_prefilter,
+            )
+            from fandom_search_tpu.search.engine import SearchEngine
+            from fandom_search_tpu.search.index import build_script_index
+            from fandom_search_tpu.utils.synthetic import (
+                make_corpus_with_quotes, make_script, make_vocab,
+            )
+
+            r_big = np.random.default_rng(23)
+            t0 = time.perf_counter()
+            # ~30k distinct words is a realistic fanfic-corpus
+            # vocabulary; zipf_a=1.01 rank-folding is the same skew
+            # recipe as the bucketed_english configs above
+            vocab_b = make_vocab(r_big, 30000)
+            n_lines = max(1, -(-big_e2e_shingles // 12))
+            script_text = make_script(
+                r_big, vocab_b, num_lines=n_lines,
+                words_per_line=(8, 17), zipf_a=1.01,
+            )
+            lines_b = parse_script(script_text)
+            index_b = build_script_index(lines_b, cfg.shingle, cfg.search)
+            # num_edits=1: mutated plants yield 5-of-6-match shingles
+            # alongside exact ones, so the parity set exercises the
+            # guarantee boundary, not just 6-match slam dunks
+            works_b, _pl = make_corpus_with_quotes(
+                r_big, [ln.text for ln in lines_b],
+                num_works=big_e2e_works, words_per_work=2000,
+                quotes_per_work=3, num_edits=1, vocab=vocab_b,
+                zipf_a=1.01,
+            )
+            log(f"big-script world: {index_b.num_shingles} script "
+                f"shingles ({n_lines} lines), {big_e2e_works} works "
+                f"built in {time.perf_counter()-t0:.1f}s")
+
+            eng_x = SearchEngine(index_b, cfg, use_pallas=use_pallas,
+                                 interpret=interpret)
+            rows_x, _sx = eng_x.search_works(works_b)  # warm/compile
+            eng_x.precompile_seen()  # settle budget-grown variants
+            bcfg_b = _dc.replace(cfg.bucketed, pairs="all")
+            eng_b2 = SearchEngine(index_b, cfg, use_pallas=use_pallas,
+                                  interpret=interpret)
+            attach_bucketed_prefilter(eng_b2, bcfg_b)
+            rows_b2 = st_b2 = None
+            eng_b2.search_works(works_b)               # warm/compile
+            dt_x = dt_b2 = float("inf")
+            for _ in range(2):                         # interleaved A/B
+                t0 = time.perf_counter()
+                rows_x, _sx = eng_x.search_works(works_b)
+                dt_x = min(dt_x, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                rows_b2, st_b2 = eng_b2.search_works(works_b)
+                dt_b2 = min(dt_b2, time.perf_counter() - t0)
+            ex_set, b_set = set(rows_x), set(rows_b2)
+            inter = len(ex_set & b_set)
+            d.update({
+                "bucketed_e2e_big_script_shingles": index_b.num_shingles,
+                "bucketed_e2e_big_works": big_e2e_works,
+                "bucketed_e2e_big_overflow_frac":
+                    eng_b2.bucketed.overflow_frac,
+                "bucketed_e2e_big_exact_seconds": dt_x,
+                "bucketed_e2e_big_seconds": dt_b2,
+                "bucketed_e2e_big_speedup_vs_exact": dt_x / dt_b2,
+                "bucketed_e2e_big_rows": len(rows_b2),
+                "bucketed_e2e_big_row_parity":
+                    inter / max(1, len(ex_set)),
+                "bucketed_e2e_big_missing_rows": len(ex_set - b_set),
+                "bucketed_e2e_big_extra_rows": len(b_set - ex_set),
+                "bucketed_e2e_big_risk_frac": st_b2.extra.get(
+                    "bucketed_risk_frac", 0.0),
+            })
+            log(f"bucketed e2e BIG ({index_b.num_shingles}-shingle "
+                f"english-skew script): exact {dt_x:.2f}s vs hybrid "
+                f"{dt_b2:.2f}s (x{dt_x/dt_b2:.2f} e2e); "
+                f"{len(rows_b2)} rows vs {len(ex_set)} exact -> parity "
+                f"{inter/max(1,len(ex_set)):.4f} (missing "
+                f"{len(ex_set-b_set)}, extra {len(b_set-ex_set)}, "
+                f"risk_frac {d['bucketed_e2e_big_risk_frac']:.3f})")
+
+        if big_e2e_shingles:
+            cap.run("bucketed_e2e_big", stage_bucketed_e2e_big)
 
         # ---- config #4 corpus scale: 100k+ works ----------------------
         scale_works = int(os.environ.get("BENCH_SCALE_WORKS", 100000))

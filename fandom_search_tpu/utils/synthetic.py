@@ -40,8 +40,26 @@ def _vocab_arr(vocab: List[str]) -> np.ndarray:
     return _vocab_arr._cache[1]
 
 
-def random_text(rng: np.random.Generator, vocab: List[str], num_words: int) -> str:
-    idx = rng.integers(0, len(vocab), size=num_words)
+def _draw_idx(
+    rng: np.random.Generator, n: int, size: int, zipf_a: float | None
+) -> np.ndarray:
+    """Vocab-index draws: uniform (default, the historical behavior) or
+    Zipf-skewed ranks — ``(rng.zipf(a) - 1) % size``, the same
+    rank-folding recipe bench.py's skew configs use, so synthetic
+    "English-like" corpora (a=1.01: top word a few percent of tokens,
+    like English stopwords) share one definition across the repo."""
+    if zipf_a is None:
+        return rng.integers(0, size, size=n)
+    return ((rng.zipf(zipf_a, size=n) - 1) % size).astype(np.int64)
+
+
+def random_text(
+    rng: np.random.Generator,
+    vocab: List[str],
+    num_words: int,
+    zipf_a: float | None = None,
+) -> str:
+    idx = _draw_idx(rng, num_words, len(vocab), zipf_a)
     return " ".join(_vocab_arr(vocab)[idx].tolist())
 
 
@@ -51,14 +69,25 @@ def make_script(
     num_lines: int = 40,
     words_per_line: Tuple[int, int] = (4, 14),
     speakers: Tuple[str, ...] = ("ALICE", "BOB", "CAROL"),
+    zipf_a: float | None = None,
 ) -> str:
-    """A 'tagged'-format script: SPEAKER: dialogue."""
-    lines = []
-    for _ in range(num_lines):
-        n = rng.integers(*words_per_line)
-        sp = speakers[rng.integers(len(speakers))]
-        lines.append(f"{sp}: {random_text(rng, vocab, int(n))}")
-    return "\n".join(lines)
+    """A 'tagged'-format script: SPEAKER: dialogue.
+
+    Vectorized over lines (one rng draw for all words, one for all
+    lengths) so whole-franchise-scale scripts — the 100k+-line inputs
+    the bucketed e2e attestation uses — build in seconds."""
+    counts = rng.integers(*words_per_line, size=num_lines)
+    words = _vocab_arr(vocab)[
+        _draw_idx(rng, int(counts.sum()), len(vocab), zipf_a)
+    ]
+    sps = np.asarray(speakers, dtype=object)[
+        rng.integers(0, len(speakers), size=num_lines)
+    ]
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+    return "\n".join(
+        f"{sps[i]}: {' '.join(words[bounds[i]:bounds[i+1]].tolist())}"
+        for i in range(num_lines)
+    )
 
 
 def mutate_words(
@@ -90,6 +119,7 @@ def make_corpus_with_quotes(
     quotes_per_work: int = 2,
     num_edits: int = 0,
     vocab: List[str] | None = None,
+    zipf_a: float | None = None,
 ) -> Tuple[Dict[str, str], List[PlantedQuote]]:
     """Random fanworks with script lines spliced in at known offsets."""
     vocab = vocab or make_vocab(rng)
@@ -99,7 +129,7 @@ def make_corpus_with_quotes(
     for w in range(num_works):
         wid = f"work{w:05d}"
         body = varr[
-            rng.integers(0, len(vocab), size=words_per_work)
+            _draw_idx(rng, words_per_work, len(vocab), zipf_a)
         ].tolist()
         # Choose all insertion points in the ORIGINAL body and insert
         # back-to-front, so one planted quote never splits another.
