@@ -56,6 +56,10 @@ flag, for testing the capture contract),
 BENCH_FAULT_STAGE / BENCH_FAULT_MODE=once|always|tpu_only|hang_once /
 BENCH_FAULT_SENTINEL (fault injection inside a named stage, for
 testing the supervisor's recovery path),
+BENCH_RESUME=1 (resume a capture whose SUPERVISOR was killed — session
+death, OOM, ^C — from bench_details.partial.json instead of discarding
+it; off by default so a fresh driver-invoked bench can never inherit a
+stale partial),
 BENCH_QUICK=1 (or --quick): kernel-only regression check against
 bench_expected.json (fails the process if the rate drops below 80% of
 the recorded best; refresh policy: re-record from every committed
@@ -246,7 +250,19 @@ def _run_child(argv, env, watchdog_s):
 def supervise(argv) -> int:
     quick = "--quick" in argv or bool(os.environ.get("BENCH_QUICK"))
     partial = Path.cwd() / PARTIAL_NAME
-    partial.unlink(missing_ok=True)
+    # BENCH_RESUME=1 covers the fault mode ABOVE the supervisor: the
+    # supervisor process itself killed mid-capture (session death,
+    # OOM-killer, operator ^C).  The stage checkpoint file survives;
+    # a resumed supervision carries every completed stage instead of
+    # discarding hours of capture.  Off by default so a driver-invoked
+    # fresh bench can never silently inherit a stale partial.
+    resume_partial = bool(os.environ.get("BENCH_RESUME")) and partial.exists()
+    if resume_partial:
+        prev = _load_details(partial) or {}
+        log(f"supervisor: resuming from existing {PARTIAL_NAME} "
+            f"({len(prev.get('stages_done', []))} stage(s) recorded)")
+    else:
+        partial.unlink(missing_ok=True)
     watchdog_s = int(os.environ.get("BENCH_WATCHDOG_S", 900))
 
     from fandom_search_tpu.utils.device_probe import probed_device_count
@@ -266,7 +282,7 @@ def supervise(argv) -> int:
     faults = []
     for attempt in (1, 2, 3):
         env = {**os.environ, "BENCH_SUPERVISED": "1"}
-        if attempt > 1:
+        if attempt > 1 or resume_partial:
             env["BENCH_RESUME"] = "1"
         if forced_cpu or attempt == 3:
             env["BENCH_FORCED_CPU"] = "1"

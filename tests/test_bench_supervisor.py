@@ -138,3 +138,45 @@ def test_quick_regression_failure_propagates(tmp_path):
     assert r.returncode == 1, (r.returncode, r.stderr[-2000:])
     assert out["value"] > 0  # the line still emits, parsed, exit code 1
     assert "FAIL" in r.stderr
+
+
+def test_supervisor_death_resumes_from_partial(tmp_path):
+    """Fault mode ABOVE the supervisor (what a session/OOM kill looks
+    like): a first supervision dies mid-capture leaving only the stage
+    checkpoint; a second supervision with BENCH_RESUME=1 must carry
+    every completed stage instead of re-capturing, and a fresh
+    supervision WITHOUT the knob must discard the stale partial."""
+    # run 1: crash in 'sharded' with mode=always -> all 3 attempts die,
+    # supervisor emits an incomplete (degraded) line but the partial it
+    # deletes afterward is the contract; simulate the harder case — the
+    # SUPERVISOR itself killed — by capturing the partial mid-flight.
+    # Simplest faithful setup: run the CHILD directly (BENCH_SUPERVISED)
+    # and let it crash, leaving the partial exactly as a dead
+    # supervision would.
+    env = {"BENCH_SUPERVISED": "1",
+           "BENCH_FAULT_STAGE": "sharded",
+           "BENCH_FAULT_MODE": "always"}
+    r1, _ = _run_bench(tmp_path, env)
+    assert r1.returncode != 0
+    partial = tmp_path / "bench_details.partial.json"
+    assert partial.exists()
+    done1 = json.loads(partial.read_text())["stages_done"]
+    assert "sw" in done1 and "sharded" not in done1
+
+    # run 2: resumed supervision completes, carrying the recorded stages
+    r2, out = _run_bench(tmp_path, {"BENCH_RESUME": "1"})
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert out["value"] > 0
+    assert "resuming from existing" in r2.stderr
+    assert "[resume] skipping completed stage sw" in r2.stderr
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert details["capture_complete"] is True
+    assert not partial.exists()
+
+    # run 3: a fresh supervision (no knob) must NOT inherit a partial
+    partial.write_text(json.dumps({"stages_done": ["kernel_engine"],
+                                   "kernel_engine_pairs_per_sec": 1.0}))
+    r3, out3 = _run_bench(tmp_path, {})
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    assert "resuming" not in r3.stderr
+    assert out3["value"] > 1.0  # re-measured, not the planted 1.0
