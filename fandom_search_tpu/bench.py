@@ -49,6 +49,8 @@ BENCH_E2E_BIG_SHINGLES / BENCH_E2E_BIG_WORKS (flagship-scale bucketed
 e2e parity stage; 0 skips), BENCH_SCALE_WORKS, BENCH_NO_PROBE=1 (skip the hung-tunnel device
 probe), BENCH_PROBE_TIMEOUT (seconds, default 120),
 BENCH_WATCHDOG_S (supervisor kills a child silent this long, 900),
+BENCH_WATCHDOG_STARTUP_S (silence allowed before the child's FIRST
+output — covers cold jax import/device init on a loaded box, 120),
 BENCH_CPU=1 (pin the CPU backend without flagging the capture
 degraded — dev/test knob; size via the other knobs),
 BENCH_FORCE_DEGRADED=1 (simulate an outage: CPU fallback + degraded
@@ -202,7 +204,18 @@ def _run_child(argv, env, watchdog_s):
     Liveness = any stderr/stdout output.  The child logs at every stage
     boundary, so a silence longer than the watchdog means the tunnel's
     hang failure mode, not slow work.
+
+    Before the child's FIRST output the effective timeout is
+    max(watchdog_s, BENCH_WATCHDOG_STARTUP_S=120): a cold jax import +
+    axon device init is legitimately silent for tens of seconds on a
+    loaded box, and killing a child mid-import burns an attempt on a
+    non-fault (observed as a flaky CPU-fallback under full-suite load
+    with a tight test watchdog).  A REAL init hang is caught upstream
+    by the pre-jax device probe, which has its own timeout.
     """
+    startup_grace = max(
+        watchdog_s, int(os.environ.get("BENCH_WATCHDOG_STARTUP_S", 120))
+    )
     pkg_root = str(Path(__file__).resolve().parent.parent)
     env = dict(env)
     env["PYTHONPATH"] = os.pathsep.join(
@@ -215,10 +228,12 @@ def _run_child(argv, env, watchdog_s):
         env=env, start_new_session=True,
     )
     last = [time.monotonic()]
+    seen_output = [False]
 
     def pump(stream, forward):
         for line in stream:
             last[0] = time.monotonic()
+            seen_output[0] = True
             if forward:
                 sys.stderr.write(line)
                 sys.stderr.flush()
@@ -231,8 +246,9 @@ def _run_child(argv, env, watchdog_s):
     tout.start()
     killed = False
     while proc.poll() is None:
-        if time.monotonic() - last[0] > watchdog_s:
-            log(f"supervisor: no child output for {watchdog_s}s; "
+        limit = watchdog_s if seen_output[0] else startup_grace
+        if time.monotonic() - last[0] > limit:
+            log(f"supervisor: no child output for {limit}s; "
                 "killing the hung capture")
             try:
                 os.killpg(proc.pid, signal.SIGKILL)

@@ -108,13 +108,19 @@ def test_persistent_fault_finishes_on_cpu_fallback(tmp_path):
 
 def test_watchdog_kills_hung_stage_then_resumes(tmp_path):
     """The tunnel's second failure mode is a silent hang, not a crash;
-    the supervisor's output watchdog must reap it and resume."""
+    the supervisor's output watchdog must reap it and resume.
+
+    The injected hang sleeps ~forever, so the watchdog can be generous:
+    45s (not the 8s a fast test would like) because a LEGITIMATE stage
+    gap — an XLA compile while the whole suite loads the box — must not
+    trip it and burn the resumed attempt into a degraded CPU fallback
+    (observed flake at 8s under full-suite load)."""
     sentinel = tmp_path / "hang_fired"
     r, out = _run_bench(tmp_path, {
         "BENCH_FAULT_STAGE": "kernel_exact",
         "BENCH_FAULT_MODE": "hang_once",
         "BENCH_FAULT_SENTINEL": str(sentinel),
-        "BENCH_WATCHDOG_S": "8",
+        "BENCH_WATCHDOG_S": "45",
     })
     assert r.returncode == 0, r.stderr[-3000:]
     assert out["value"] > 0
