@@ -341,7 +341,15 @@ def supervise(argv) -> int:
     if not quick:
         Path(FINAL_NAME).write_text(json.dumps(details, indent=2))
         log(f"details -> {FINAL_NAME}")
-    partial.unlink(missing_ok=True)
+    if complete:
+        partial.unlink(missing_ok=True)
+    else:
+        # every attempt died: the checkpoint is the only record of the
+        # completed stages — keep it so BENCH_RESUME=1 can salvage the
+        # capture after the outage clears (a fresh run without the
+        # knob overwrites it from scratch, so nothing goes stale)
+        log(f"capture incomplete; keeping {PARTIAL_NAME} for "
+            "BENCH_RESUME=1 salvage")
     print(json.dumps(driver_line(
         "shingle_pairs_per_sec", round(rate), "pairs/s", vs,
         backend, degraded, fault=faults or None,
@@ -495,9 +503,18 @@ def run_capture(argv) -> int:
 
     cap = _StageRunner(Path.cwd() / PARTIAL_NAME, resume, platform)
     d = cap.details
-    d.update({"device": str(jax.devices()[0]), "backend": platform,
-              "degraded": bool(d.get("degraded")) or bool(probe_note),
-              "nq": nq, "ns": ns})
+    d.update({"backend": platform,
+              "degraded": bool(d.get("degraded")) or bool(probe_note)})
+    # A resumed fallback attempt may run shrunken shapes on another
+    # device: keep the ORIGINAL attempt's nq/ns/device (they label the
+    # carried stages) and note the divergence rather than relabeling
+    # TPU-recorded rates with the fallback's geometry.  stage_backends
+    # carries the per-stage backend either way.
+    d.setdefault("device", str(jax.devices()[0]))
+    if d.setdefault("nq", nq) != nq or d.setdefault("ns", ns) != ns:
+        d["resumed_shape_note"] = (
+            f"stages recorded after a fallback resume ran at {nq}x{ns}; "
+            f"top-level nq/ns describe the original attempt")
     if probe_note:
         d["probe_note"] = probe_note
 
@@ -896,10 +913,12 @@ def run_capture(argv) -> int:
         r = np.random.default_rng(seed)
 
         def words(count):
-            # ranks -> word hashes: heavy head like stopwords
+            # ranks -> word hashes: heavy head like stopwords.  Same
+            # (zipf - 1) % size rank folding as utils/synthetic
+            # _draw_idx — ONE skew definition across the repo.
             return (
-                (r.zipf(zipf_a, size=count) % vocab).astype(np.uint32)
-                * np.uint32(0x9E3779B9)
+                ((r.zipf(zipf_a, size=count) - 1) % vocab)
+                .astype(np.uint32) * np.uint32(0x9E3779B9)
             )
 
         s_stream = words(ns_c + cfg.shingle.n - 1)

@@ -438,15 +438,22 @@ def _run_search(args, cfg, lines, index, works):
     eng = _build_engine(args, cfg, index)
     if getattr(args, "warm", False):
         t0 = time.perf_counter()
-        # rough token estimate (~6 chars/word) caps the largest bucket
-        # warmed, so a small corpus doesn't compile the full-cap variant
+        # rough token estimate caps the largest bucket warmed, so a
+        # small corpus doesn't compile the full-cap variant.  The ~6
+        # chars/word correction applies only to raw text; Tokenized
+        # works already count tokens.
         est = sum(
-            len(t) if isinstance(t, str) else len(t.hashes)
+            len(t) // 6 if isinstance(t, str) else len(t.hashes)
             for t in works.values()
-        ) // 6
+        )
         n = eng.warm_buckets(max_queries=max(1, est))
-        print(f"warm: precompiled {n} stream bucket(s) in "
-              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        if n:
+            print(f"warm: precompiled {n} stream bucket(s) in "
+                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        else:
+            print("warm: engine runs a prefilter path (--bucketed/"
+                  "--lsh); fused-variant warming does not apply",
+                  file=sys.stderr)
     if args.resume_dir:
         from fandom_search_tpu.search.runner import ResumableRunner
 

@@ -857,11 +857,13 @@ def drive_hybrid(
 def thresholded_recall_vs_exact(
     exact_vals, qpos, scores, count, *, dim, threshold, stride=1,
 ):
-    """Measurement helper shared by bench config #5c and
-    scripts/bucketed_probe.py: fraction of the exact kernel's
-    above-threshold top-k entries that the candidate triples reproduce
-    with an equal score (multiset per query — ties must be matched one
-    for one).  ``stride`` subsamples queries."""
+    """Measurement helper (scripts/bucketed_probe.py): fraction of the
+    exact kernel's above-threshold top-k entries that the candidate
+    triples reproduce with an equal score (multiset per query — ties
+    must be matched one for one).  ``stride`` subsamples queries.
+    bench.py's measure_skew re-implements this loop inline because it
+    additionally splits recall by the pigeonhole-guaranteed set (needs
+    script word-windows); keep the multiset semantics in sync."""
     evn = np.asarray(exact_vals)
     n = int(np.asarray(count))
     got = {}

@@ -702,7 +702,15 @@ class SearchEngine:
         of a real batch depends on work sizes (nspans floor 512,
         doubles for small-work corpora), and a quote-dense corpus may
         still grow the budgets mid-run; with the persistent jit cache
-        both residuals are one-time costs per corpus shape."""
+        both residuals are one-time costs per corpus shape.
+
+        No-op (returns 0) when a prefilter path is attached
+        (``--bucketed``/``--lsh`` set ``_use_fused = False``): those
+        runs dispatch ``_candidates_fn``, and warming fused variants
+        they never call would burn the very compile minutes ``--warm``
+        exists to save."""
+        if not self._use_fused:
+            return 0
         cap = self.cfg.search.batch_queries
         n = self.cfg.shingle.n
         g = min(self._batch_granule, cap)

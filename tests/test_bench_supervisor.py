@@ -186,3 +186,31 @@ def test_supervisor_death_resumes_from_partial(tmp_path):
     assert r3.returncode == 0, r3.stderr[-3000:]
     assert "resuming" not in r3.stderr
     assert out3["value"] > 1.0  # re-measured, not the planted 1.0
+
+
+def test_all_attempts_dead_keeps_partial_for_salvage(tmp_path):
+    """When every attempt dies (fault also kills the CPU fallback) the
+    stage checkpoint is the ONLY record of the completed stages: the
+    supervisor must emit the incomplete line (degraded, exit 0) and
+    KEEP the partial so BENCH_RESUME=1 can salvage the capture once
+    the outage clears."""
+    r1, out1 = _run_bench(tmp_path, {
+        "BENCH_FAULT_STAGE": "sharded",
+        "BENCH_FAULT_MODE": "always",
+    })
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    assert out1["degraded"] is True
+    assert out1["value"] > 0  # pre-fault stages still carried
+    partial = tmp_path / "bench_details.partial.json"
+    assert partial.exists()
+    done = json.loads(partial.read_text())["stages_done"]
+    assert "sw" in done and "sharded" not in done
+
+    # outage clears (fault knob removed): the salvage run completes
+    # carrying every recorded stage
+    r2, out2 = _run_bench(tmp_path, {"BENCH_RESUME": "1"})
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "[resume] skipping completed stage sw" in r2.stderr
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert details["capture_complete"] is True
+    assert not partial.exists()

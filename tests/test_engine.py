@@ -425,3 +425,13 @@ def test_precompile_seen_and_warm_buckets(world):
     assert eng2.warm_buckets() >= 1
     rows3, _ = eng2.search_works(works)
     assert {_row_key(r) for r in rows1} == {_row_key(r) for r in rows3}
+
+    # with a prefilter attached the engine never dispatches the fused
+    # path — warming fused variants would burn the compile minutes
+    # --warm exists to save, so it must no-op
+    from fandom_search_tpu.ops.bucketed import attach_bucketed_prefilter
+
+    eng3 = SearchEngine(index, cfg_small, use_pallas=True, interpret=True)
+    attach_bucketed_prefilter(eng3, CFG.bucketed)
+    assert eng3.warm_buckets() == 0
+    assert not eng3._seen_variants
