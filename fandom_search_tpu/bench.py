@@ -915,9 +915,18 @@ def run_capture(argv) -> int:
         def words(count):
             # ranks -> word hashes: heavy head like stopwords.  Same
             # (zipf - 1) % size rank folding as utils/synthetic
-            # _draw_idx — ONE skew definition across the repo.
+            # _draw_idx — ONE skew definition across the repo.  The
+            # +1 keeps every word hash NONZERO: hash 0 is the one
+            # degenerate key of the multiply-shift sign embedding
+            # (0 * m = 0 in every dim -> a constant ±1 vector), so a
+            # 2.6%-frequency hash-0 head word floods the exact top-k
+            # with non-lexical correlated-embedding noise no lexical
+            # prefilter can see (measured: english thresholded recall
+            # 0.99 -> 0.53).  Real tokenizer hashes hit 0 with
+            # probability ~2^-32; synthetic corpora must not sit on
+            # the scheme's single pathological point.
             return (
-                ((r.zipf(zipf_a, size=count) - 1) % vocab)
+                (((r.zipf(zipf_a, size=count) - 1) % vocab) + 1)
                 .astype(np.uint32) * np.uint32(0x9E3779B9)
             )
 
