@@ -214,3 +214,118 @@ def test_all_attempts_dead_keeps_partial_for_salvage(tmp_path):
     details = json.loads((tmp_path / "bench_details.json").read_text())
     assert details["capture_complete"] is True
     assert not partial.exists()
+
+
+def test_salvaged_run_is_not_degraded(tmp_path):
+    """ADVICE r4: a forced-CPU attempt that completes ZERO stages must
+    not poison a later healthy salvage with degraded=true — degraded
+    now flips only when a stage actually COMPLETES on the fallback
+    backend."""
+    r1, out1 = _run_bench(tmp_path, {
+        "BENCH_FAULT_STAGE": "sharded",
+        "BENCH_FAULT_MODE": "always",
+    })
+    assert r1.returncode == 0
+    assert out1["degraded"] is True  # incomplete capture => degraded
+    partial = tmp_path / "bench_details.partial.json"
+    assert partial.exists()
+    # attempt 3 ran BENCH_FORCED_CPU but its only new stage (sharded)
+    # died before completing: the checkpoint must NOT carry the flag
+    assert json.loads(partial.read_text()).get("degraded") is False
+
+    r2, out2 = _run_bench(tmp_path, {"BENCH_RESUME": "1"})
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert out2["degraded"] is False
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert details["capture_complete"] is True
+    assert details["degraded"] is False
+
+
+def test_sigterm_emits_line_from_checkpoint(tmp_path):
+    """VERDICT r4 #1 (the three-dead-rounds fix): the driver enforces
+    its budget with `timeout`, which SIGTERMs the supervisor itself.
+    A SIGTERM'd supervisor must reap the child and still print the
+    parsed driver line — from the stage checkpoint — and exit 0."""
+    import signal as _signal
+    import time as _time
+
+    env = {**os.environ, **TINY,
+           "BENCH_FAULT_STAGE": "lsh",
+           "BENCH_FAULT_MODE": "hang_once",
+           "BENCH_FAULT_SENTINEL": str(tmp_path / "hang_fired"),
+           "PYTHONPATH": str(REPO)}
+    env.pop("JAX_PLATFORMS", None)
+    code = ("import sys\nfrom fandom_search_tpu import bench\n"
+            "sys.exit(bench.main([]))\n")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], cwd=tmp_path, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    partial = tmp_path / "bench_details.partial.json"
+    deadline = _time.monotonic() + 240
+    while _time.monotonic() < deadline:
+        if partial.exists():
+            try:
+                det = json.loads(partial.read_text())
+            except ValueError:
+                det = {}
+            if det.get("stage_started") == "lsh":
+                break
+        _time.sleep(0.5)
+    else:
+        proc.kill()
+        raise AssertionError("child never reached the hung lsh stage")
+    _time.sleep(1.0)  # let the child settle into the injected hang
+    proc.send_signal(_signal.SIGTERM)
+    out, err = proc.communicate(timeout=60)
+    assert proc.returncode == 0, err[-3000:]
+    line = json.loads(out.strip().splitlines()[-1])
+    assert line["metric"] == "shingle_pairs_per_sec"
+    assert line["value"] > 0          # kernel stage was checkpointed
+    assert line["degraded"] is True   # incomplete capture
+    kinds = [f.get("kind") for f in line["fault"]]
+    assert "supervisor_killed" in kinds
+    # the checkpoint survives for BENCH_RESUME salvage
+    assert partial.exists()
+
+
+def test_time_budget_skips_optional_and_snapshots(tmp_path):
+    """VERDICT r4 #1b/#2: a blown time budget skips OPTIONAL stages
+    (recorded in stages_skipped_for_time) but still completes the
+    capture — and a healthy completed capture writes the durable
+    per-round snapshot bench_details_rNN.json mechanically."""
+    r, out = _run_bench(tmp_path, {
+        "BENCH_BIG_NS": "2048",          # give the budget a victim
+        "BENCH_TIME_BUDGET_S": "1",      # any elapsed blows it
+        "BENCH_SNAPSHOT": "1",
+        "BENCH_ROUND": "99",
+    })
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out["value"] > 0
+    assert out["degraded"] is False      # skipping is not degradation
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert details["capture_complete"] is True
+    assert "bucketed_big" in details["stages_skipped_for_time"]
+    assert "bucketed_big" not in details["stages_done"]
+    # per-stage seconds recorded for every stage that DID run
+    assert details["stage_seconds"]["kernel_engine"] >= 0
+    snap = tmp_path / "bench_details_r99.json"
+    assert snap.exists()
+    assert json.loads(snap.read_text())["capture_complete"] is True
+
+
+def test_stale_partial_archived_not_destroyed(tmp_path):
+    """VERDICT r4 #2: a fresh supervision must not inherit a stale
+    checkpoint — but must not unlink it either (the r04 post-fix
+    capture lived ONLY in the partial a later --quick run deleted).
+    It is renamed aside with a timestamp."""
+    partial = tmp_path / "bench_details.partial.json"
+    planted = {"stages_done": ["kernel_engine"],
+               "kernel_engine_pairs_per_sec": 1.0}
+    partial.write_text(json.dumps(planted))
+    r, out = _run_bench(tmp_path, {})
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert out["value"] > 1.0  # re-measured, not the planted 1.0
+    archives = list(tmp_path.glob("bench_details.partial.stale-*.json"))
+    assert len(archives) == 1
+    assert json.loads(archives[0].read_text()) == planted
