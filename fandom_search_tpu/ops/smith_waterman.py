@@ -403,6 +403,109 @@ def _sw_kernel(
         out_ref[:] = best / denom
 
 
+def _sw_kernel_wide(
+    a_ext_ref,  # VMEM [LA+LB, TB] uint32 — transposed reverse(a) ++ pad
+    b_ref,      # VMEM [LB, TB] uint32
+    lena_ref,   # VMEM [1, TB] int32
+    lenb_ref,   # VMEM [1, TB] int32
+    out_ref,    # VMEM [1, TB] f32 — normalized score
+    hprev_ref,  # VMEM scratch [LB, TB] f32
+    hpp_ref,    # VMEM scratch [LB, TB] f32
+    state_ref,  # VMEM scratch [LA+LB, TB] uint32
+    best_ref,   # VMEM scratch [LB, TB] f32
+    *,
+    la: int,
+    lb: int,
+    match: float,
+    mismatch: float,
+    gap: float,
+    unroll: int,
+):
+    """variant="wide" (round-5): the SAME wavefront as variant="fast",
+    transposed — batch along LANES, script position j along SUBLANES.
+
+    Why: the engine's verify window is la = lb = 64, so the lane-major
+    kernel's per-step [TB, 64] tiles occupy only 64 of each vreg's 128
+    lanes — every elementwise op and roll in the serialized wavefront
+    runs at HALF lane utilization.  Transposed, a [64, TB=128] tile
+    packs full (8, 128) vregs: 8 vregs per H-plane instead of 16, and
+    the j-shift becomes a sublane roll.  Rejected restructuring (c)
+    (two pairs packed side-by-side in lanes) attacked the same waste
+    but paid a per-step concat of two diagonal buffers; the transpose
+    needs no concat — one layout change, zero extra per-step ops.
+    Device A/B: scripts/sw_ab.py.
+    """
+    tb = b_ref.shape[1]
+    w = la + lb
+    len_a = lena_ref[:]                                          # [1, TB]
+    len_b = lenb_ref[:]
+    b_tok = b_ref[:]
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (lb, tb), 0)
+    valid_j = j_ids < len_b                                      # [LB, TB]
+    row0 = j_ids == 0
+    len_a_u = len_a.astype(jnp.uint32)
+
+    def shift_down(x):
+        rolled = pltpu.roll(x, shift=1, axis=0)
+        return jnp.where(row0, 0.0, rolled)
+
+    out_ref[:] = jnp.zeros((1, tb), jnp.float32)
+
+    @pl.when(jnp.any(len_a > 0))
+    def _run():
+        state_ref[:] = pltpu.roll(
+            a_ext_ref[:], shift=(w - (la - 1)) % w, axis=0
+        )
+        hprev_ref[:] = jnp.zeros((lb, tb), jnp.float32)
+        hpp_ref[:] = jnp.zeros((lb, tb), jnp.float32)
+        best_ref[:] = jnp.zeros((lb, tb), jnp.float32)
+
+        def one_diag(d, prev_ref, pp_ref):
+            h_prev = prev_ref[:]
+            state = state_ref[:]
+            a_diag = state[:lb, :]
+            # single unsigned compare folds (i >= 0) & (i < len_a):
+            # negative i wraps to a huge uint32
+            i_u = (jnp.asarray(d, jnp.int32) - j_ids).astype(jnp.uint32)
+            valid = jnp.logical_and(i_u < len_a_u, valid_j)
+            sub = jnp.where(
+                a_diag == b_tok,
+                jnp.float32(match),
+                jnp.float32(mismatch),
+            )
+            h = jnp.maximum(
+                shift_down(pp_ref[:]) + sub,
+                jnp.maximum(shift_down(h_prev), h_prev)
+                + jnp.float32(gap),
+            )
+            h = jnp.maximum(h, 0.0)
+            h = jnp.where(valid, h, 0.0)
+            best_ref[:] = jnp.maximum(best_ref[:], h)
+            pp_ref[:] = h
+            state_ref[:] = pltpu.roll(state, shift=1, axis=0)
+
+        def diags(it):
+            for u in range(unroll):
+                d = unroll * it + u
+                if u % 2 == 0:
+                    one_diag(d, hprev_ref, hpp_ref)
+                else:
+                    one_diag(d, hpp_ref, hprev_ref)
+
+        static_iters = -(-(la + lb - 1) // unroll)
+        needed = jnp.max(len_a + len_b) - 1
+
+        def step_u(it, _):
+            pl.when(it * unroll < needed)(lambda: diags(it))
+            return 0
+
+        jax.lax.fori_loop(0, static_iters, step_u, 0)
+        denom = match * jnp.maximum(
+            1, jnp.minimum(len_a, len_b)
+        ).astype(jnp.float32)
+        out_ref[:] = jnp.max(best_ref[:], axis=0, keepdims=True) / denom
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -416,10 +519,52 @@ def _sw_pallas_call(
 ):
     bsz, la = a.shape
     lb = b.shape[1]
-    if variant not in ("fast", "r2", "dyn"):
+    if variant not in ("fast", "r2", "dyn", "wide"):
         raise ValueError(
-            f"variant must be 'fast', 'r2' or 'dyn', got {variant!r}"
+            f"variant must be 'fast', 'r2', 'dyn' or 'wide', got "
+            f"{variant!r}"
         )
+    if variant == "wide":
+        if state != "f32":
+            raise ValueError("variant='wide' supports only state='f32'")
+        if unroll % 2:
+            raise ValueError(
+                f"unroll must be even for variant='wide', got {unroll}"
+            )
+        # transposed operands: batch -> lanes, j -> sublanes (the
+        # one-time transposes are XLA ops outside the wavefront)
+        a_ext_t = jnp.concatenate(
+            [a[:, ::-1], jnp.zeros((bsz, lb), a.dtype)], axis=1
+        ).T                                            # [LA+LB, B]
+        kernel = functools.partial(
+            _sw_kernel_wide, la=la, lb=lb, match=match,
+            mismatch=mismatch, gap=gap, unroll=unroll,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(bsz // tile_b,),
+            in_specs=[
+                pl.BlockSpec((la + lb, tile_b), lambda i: (0, i)),
+                pl.BlockSpec((lb, tile_b), lambda i: (0, i)),
+                pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+                pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, tile_b), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((1, bsz), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((lb, tile_b), jnp.float32),
+                pltpu.VMEM((lb, tile_b), jnp.float32),
+                pltpu.VMEM((la + lb, tile_b), jnp.uint32),
+                pltpu.VMEM((lb, tile_b), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=10 * bsz * la * lb,
+                bytes_accessed=bsz * (la + lb) * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(a_ext_t, b.T, len_a.reshape(1, -1), len_b.reshape(1, -1))
+        return out.T                                    # [B, 1]
     if variant == "fast" and unroll % 2:
         # the double-buffered DP state swaps hprev/hpp roles per step;
         # an even unroll returns the roles to canonical each iteration

@@ -127,13 +127,18 @@ def mode_leak(log2_ns=22, log2_nq=17):
     for qi in range(0, nq_c, 20):
         si = int(r.integers(0, ns_c))
         q_stream[qi:qi + N] = s_stream[si:si + N]
+    from fandom_search_tpu.ops.embed import embed_shingles_pallas_t
+
     sw_h = shingle_hashes(s_stream, cfg.shingle)
     bidx = BucketedIndex.build(sw_h, bcfg, cfg.shingle)
-    s_embz = embed_shingles_np(s_stream, cfg.shingle)
-    q_embz = embed_shingles_np(q_stream, cfg.shingle)
-    s_padz, nsz = pad_rows(jnp.asarray(s_embz), 2048)
-    q_devz = jnp.asarray(q_embz)
-    q_tz = jnp.asarray(np.ascontiguousarray(q_embz.T))
+    # device-side embed from the streams (bench.py r05 discipline: the
+    # host-embed upload at 2^22 is ~540 MB through a ~2 MB/s tunnel)
+    s_padz, nsz = pad_rows(
+        embed_shingles_pallas_t(
+            jnp.asarray(s_stream), cfg.shingle).T[:ns_c], 2048)
+    q_tz = embed_shingles_pallas_t(
+        jnp.asarray(q_stream), cfg.shingle)[:, :nq_c]
+    q_devz = q_tz.T
     qs_devz = jnp.asarray(q_stream)
     smax = N * N * dim
     tq_z, ts_z = engine_tiles(nq_c, s_padz.shape[0])

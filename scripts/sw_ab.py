@@ -60,7 +60,9 @@ def main():
         "real": (la_real, lb_real),
         "mixed": (la_mixed, lb_mixed),
     }
-    variants = ["fast", "r2", "dyn"]
+    variants = ["fast", "r2", "wide"]  # r5: "wide" = transposed layout
+    if "dyn" in sys.argv:
+        variants.append("dyn")
 
     def run(variant, la, lb):
         return sw_normalized_pallas(a, b, la, lb, cfg, variant=variant)

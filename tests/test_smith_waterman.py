@@ -148,3 +148,36 @@ def test_fast_variant_matches_r2_and_numpy(rng):
             a, b, len_a, len_b, CFG, tile_b=32, interpret=True, unroll=3,
             variant="fast",
         )
+
+
+def test_wide_variant_matches_fast_and_numpy(rng):
+    """Round-5 kernel (variant="wide": batch along lanes, j along
+    sublanes — full vreg utilization at the engine's lb=64) must be
+    bit-equal to variant="fast" and the NumPy oracle on the same
+    ragged batches, including all-padding tiles (the pl.when skip)."""
+    a, b, len_a, len_b = _make_batch(rng, 96)
+    len_b[:32] = rng.integers(3, 9, size=32)
+    len_a[:32] = rng.integers(5, 15, size=32)
+    len_a[40], len_b[40] = a.shape[1], b.shape[1]
+    len_a[64:] = 0  # an all-padding tile at tile_b=32
+    len_b[64:] = 0
+    want = _np_scores(a, b, len_a, len_b)
+    got_fast = np.asarray(
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="fast",
+        )
+    )
+    got_wide = np.asarray(
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="wide",
+        )
+    )
+    np.testing.assert_allclose(got_wide, want, atol=1e-5)
+    np.testing.assert_array_equal(got_wide, got_fast)
+    with pytest.raises(ValueError, match="state"):
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="wide", state="i16",
+        )
