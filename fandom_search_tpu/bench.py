@@ -758,11 +758,25 @@ def run_capture(argv) -> int:
                 "TPU-recorded rates")
         elif expected_path.exists():
             exp = json.loads(expected_path.read_text())
-            floor = exp["kernel_engine_pairs_per_sec"] * 0.80
-            ok = rate_engine >= floor
-            log(f"quick regression check: {rate_engine/1e9:.1f} G vs "
-                f"recorded {exp['kernel_engine_pairs_per_sec']/1e9:.1f} G "
-                f"(floor 80%) -> {'PASS' if ok else 'FAIL'}")
+            basis_iters = exp.get("basis_iters")
+            if basis_iters and basis_iters != kernel_iters:
+                # a recorded floor is only meaningful on the timing
+                # basis it was measured on (VERDICT r4 weak #1: the
+                # guard silently went stale across the r4 burst-basis
+                # change); a mismatched basis is a config error, not
+                # a pass
+                log(f"quick regression check: recorded floor is on a "
+                    f"{basis_iters}-dispatch burst basis but this run "
+                    f"used {kernel_iters}; set BENCH_KERNEL_ITERS="
+                    f"{basis_iters} for a valid compare -> FAIL")
+                ok = False
+            else:
+                floor = exp["kernel_engine_pairs_per_sec"] * 0.80
+                ok = rate_engine >= floor
+                log(f"quick regression check: {rate_engine/1e9:.1f} G vs "
+                    f"recorded "
+                    f"{exp['kernel_engine_pairs_per_sec']/1e9:.1f} G "
+                    f"(floor 80%) -> {'PASS' if ok else 'FAIL'}")
         else:
             log("no bench_expected.json; skipping regression compare")
         d["quick_regression_ok"] = bool(ok)
@@ -1444,6 +1458,12 @@ def run_capture(argv) -> int:
                 "bucketed_e2e_risk_frac": stats_b.extra.get(
                     "bucketed_risk_frac", 0.0),
             })
+            ok = not (exact_set - b_set) and not (b_set - exact_set)
+            d["bucketed_e2e_parity_ok"] = ok
+            d["recall_gate_ok"] = bool(d.get("recall_gate_ok", True)) and ok
+            if not ok:
+                log("ALERT: bucketed e2e row parity BROKEN — the "
+                    "official recall gate (BASELINE.md targets) fails")
             log(f"bucketed e2e parity: {len(rows_b)} rows vs "
                 f"{len(exact_set)} exact in {dt_b:.2f}s -> parity "
                 f"{inter/max(1,len(exact_set)):.4f} "
@@ -1556,6 +1576,12 @@ def run_capture(argv) -> int:
                 "bucketed_e2e_big_risk_frac": st_b2.extra.get(
                     "bucketed_risk_frac", 0.0),
             })
+            ok = not (ex_set - b_set) and not (b_set - ex_set)
+            d["bucketed_e2e_big_parity_ok"] = ok
+            d["recall_gate_ok"] = bool(d.get("recall_gate_ok", True)) and ok
+            if not ok:
+                log("ALERT: bucketed e2e BIG row parity BROKEN — the "
+                    "official recall gate (BASELINE.md targets) fails")
             log(f"bucketed e2e BIG ({index_b.num_shingles}-shingle "
                 f"english-skew script): exact {dt_x:.2f}s vs hybrid "
                 f"{dt_b2:.2f}s (x{dt_x/dt_b2:.2f} e2e); "

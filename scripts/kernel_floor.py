@@ -7,6 +7,12 @@ Variants (interleaved):
   c) XLA dot_general + row-max (no top-k, no materialized HBM output)
   d) XLA dot_general + lax.top_k (the topk_dot_jnp path)
 
+Round-5: timing is burst-amortized (40 dispatches per sync, like
+bench.py's BENCH_KERNEL_ITERS — the old 5-dispatch burst carried
+~RTT/5 of tunnel overhead per call), and operands are embedded ON
+DEVICE from the token streams (the host-embed upload was 34 MB through
+~2 MB/s tunnel phases).  FLOOR_ITERS overrides the burst size.
+
 Usage: python scripts/kernel_floor.py [rounds]
 """
 
@@ -36,20 +42,22 @@ def main():
     cfg = PipelineConfig()
     k, dim = cfg.search.k, cfg.shingle.dim
     thr = cfg.search.candidate_threshold
+    from fandom_search_tpu.ops.embed import embed_shingles_pallas_t
+
     nq, ns = 1 << 17, 8192
     rng = np.random.default_rng(0)
-    q_emb = embed_shingles_np(
-        rng.integers(0, 2**32, size=nq + cfg.shingle.n - 1, dtype=np.uint32),
-        cfg.shingle,
-    )
-    s_emb = embed_shingles_np(
-        rng.integers(0, 2**32, size=ns + cfg.shingle.n - 1, dtype=np.uint32),
-        cfg.shingle,
-    )
-    q_emb[::100] = s_emb[rng.integers(0, ns, size=len(q_emb[::100]))]
-    q_t = jnp.asarray(np.ascontiguousarray(q_emb.T))
-    q_dev = jnp.asarray(q_emb)
-    s_pad, nsv = pad_rows(jnp.asarray(s_emb), 2048)
+    q_stream = rng.integers(
+        0, 2**32, size=nq + cfg.shingle.n - 1, dtype=np.uint32)
+    s_stream = rng.integers(
+        0, 2**32, size=ns + cfg.shingle.n - 1, dtype=np.uint32)
+    s_emb = embed_shingles_np(s_stream, cfg.shingle)
+    plant_idx = rng.integers(0, ns, size=len(range(0, nq, 100)))
+    s_dev = jnp.asarray(s_emb)
+    q_t = embed_shingles_pallas_t(
+        jnp.asarray(q_stream), cfg.shingle)[:, :nq]
+    q_t = q_t.at[:, ::100].set(jnp.take(s_dev, plant_idx, axis=0).T)
+    q_dev = q_t.T
+    s_pad, nsv = pad_rows(s_dev, 2048)
 
     @jax.jit
     def xla_rowmax(q, s):
@@ -81,6 +89,7 @@ def main():
     def sync(o):
         return np.asarray(jnp.sum(o.astype(jnp.float32)))
 
+    iters = int(os.environ.get("FLOOR_ITERS", 40))
     for name, fn in variants:
         sync(fn())
     best = {name: float("inf") for name, _ in variants}
@@ -88,10 +97,10 @@ def main():
         line = []
         for name, fn in variants:
             t0 = time.perf_counter()
-            for _ in range(5):
+            for _ in range(iters):
                 out = fn()
             sync(out)
-            dt = (time.perf_counter() - t0) / 5
+            dt = (time.perf_counter() - t0) / iters
             best[name] = min(best[name], dt)
             line.append(f"{name} {dt*1e3:.1f}")
         print(f"round {r}: " + " | ".join(line), flush=True)
