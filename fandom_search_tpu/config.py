@@ -106,8 +106,19 @@ class SearchConfig:
     sw_match: float = 2.0
     sw_mismatch: float = -1.0
     sw_gap: float = -1.0
+    # Kernel variant for the verification wavefront
+    # (ops/smith_waterman.py): "fast" = lane-major double-buffered;
+    # "wide" = transposed (batch on lanes, full vreg utilization at
+    # lb=64); "r2"/"dyn" are A/B controls.  Device A/B decides the
+    # default (scripts/sw_ab.py).
+    sw_variant: str = "fast"
 
     def __post_init__(self) -> None:
+        if self.sw_variant not in ("fast", "r2", "dyn", "wide"):
+            raise ValueError(
+                f"sw_variant must be one of fast/r2/dyn/wide, got "
+                f"{self.sw_variant!r}"
+            )
         # The fused batch path rides candidate counts and positions
         # through f32 (exact integers only below 2^24): the raw
         # candidate count is bounded by batch_queries * k.

@@ -1149,7 +1149,8 @@ def _fused_impl(
     if use_pallas:
         def verify_impl(a, b, len_a, len_b):
             return sw_normalized_pallas(
-                a, b, len_a, len_b, search_cfg, interpret=interpret
+                a, b, len_a, len_b, search_cfg, interpret=interpret,
+                variant=search_cfg.sw_variant,
             )
     else:
         def verify_impl(a, b, len_a, len_b):
@@ -1377,7 +1378,8 @@ def _verify_jit(stream, packed, script_stream,
     b = jnp.take(script_stream, gather_b)                 # [C, max_lt]
     if use_pallas:
         vscore = sw_normalized_pallas(
-            a, b, len_a, len_b, search_cfg, interpret=interpret
+            a, b, len_a, len_b, search_cfg, interpret=interpret,
+            variant=search_cfg.sw_variant,
         )
     else:
         vscore = sw_normalized_jnp(a, b, len_a, len_b, search_cfg)
