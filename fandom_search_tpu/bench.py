@@ -48,7 +48,7 @@ records died rc!=0/parsed:null — the last one because the DRIVER's
 Two defenses: (a) the supervisor traps SIGTERM/SIGINT, reaps the
 child, and emits the canonical line from the stage checkpoint before
 exiting 0 — `timeout` sends SIGTERM first, so the driver's kill is a
-clean flagged emission; (b) BENCH_TIME_BUDGET_S (default 700 s,
+clean flagged emission; (b) BENCH_TIME_BUDGET_S (default 900 s,
 0 disables) counts wall-clock from supervision start (BENCH_T0 shared
 across attempts): optional stages whose estimated cost would blow the
 budget are skipped and listed in `stages_skipped_for_time`, so a slow
@@ -67,7 +67,7 @@ BENCH_ENGLISH_HUGE_NS,
 BENCH_E2E_BIG_SHINGLES / BENCH_E2E_BIG_WORKS (flagship-scale bucketed
 e2e parity stage; 0 skips) / BENCH_E2E_BIG_REPS (A/B timing reps, 1),
 BENCH_SCALE_WORKS / BENCH_SCALE_REPS (1),
-BENCH_TIME_BUDGET_S (wall-clock stage-skipping budget, 700; 0 off),
+BENCH_TIME_BUDGET_S (wall-clock stage-skipping budget, 900; 0 off),
 BENCH_ROUND (snapshot suffix), BENCH_SNAPSHOT=1 (snapshot even on the
 CPU backend — tests), BENCH_FULL=1 (run every demoted stage),
 BENCH_NO_PROBE=1 (skip the hung-tunnel device
@@ -332,7 +332,15 @@ def _snapshot_path() -> Path:
             except ValueError:
                 pass
         rnd = f"{max(seen) + 1:02d}" if seen else time.strftime("%m%d%H%M")
-    return Path.cwd() / f"bench_details_r{rnd}.json"
+    path = Path.cwd() / f"bench_details_r{rnd}.json"
+    # never clobber an earlier healthy capture of the same round (a
+    # budget-skipped driver run must not replace a fuller committed
+    # snapshot): version with a letter suffix instead
+    suffix = "b"
+    while path.exists():
+        path = Path.cwd() / f"bench_details_r{rnd}{suffix}.json"
+        suffix = chr(ord(suffix) + 1)
+    return path
 
 
 def _finalize_and_emit(details, faults, quick, partial) -> int:
@@ -663,6 +671,8 @@ def run_capture(argv) -> int:
     # multiply-shift the engine runs on device.
     s_dev = jnp.asarray(s_emb)
     s_pad, ns_valid = pad_rows(s_dev, cfg.search.script_pad_multiple)
+    log("script side on device "
+        f"({float(jnp.sum(s_pad.astype(jnp.float32))):.0f} checksum)")
     # the engine's lane-major embed kernel: [dim, M_pad] direct, no
     # host relayout; pad columns sliced off, plants scattered on device
     q_dev_t = embed_shingles_pallas_t(
@@ -671,6 +681,11 @@ def run_capture(argv) -> int:
     q_dev_t = q_dev_t.at[:, ::100].set(
         jnp.take(s_dev, plant_idx, axis=0).T)
     q_dev = q_dev_t.T  # row-major twin for the LSH/recall stages
+    # setup sync + log: feeds the supervisor's output watchdog (a
+    # tunnel stall here looks identical to a hang) and timestamps the
+    # setup/stage boundary in the capture log
+    log("query embeds on device "
+        f"({float(jnp.sum(q_dev_t.astype(jnp.float32))):.0f} checksum)")
     # host embeds for the ORACLE sample only (cpu_nq rows)
     q_emb = embed_shingles_np(
         q_stream[: cpu_nq + cfg.shingle.n - 1], cfg.shingle)
@@ -680,7 +695,7 @@ def run_capture(argv) -> int:
     cap = _StageRunner(
         Path.cwd() / PARTIAL_NAME, resume, platform,
         t0=float(os.environ.get("BENCH_T0", 0) or 0),
-        budget_s=float(os.environ.get("BENCH_TIME_BUDGET_S", 700)),
+        budget_s=float(os.environ.get("BENCH_TIME_BUDGET_S", 900)),
         mark_degraded=bool(probe_note),
     )
     d = cap.details
@@ -1424,7 +1439,10 @@ def run_capture(argv) -> int:
                 f"missing {d['e2e_sample_missing_rows']}, "
                 f"extra {d['e2e_sample_extra_rows']})")
 
-        cap.run("e2e", stage_e2e, optional=True, est_s=150)
+        # est from the r05 stage_seconds capture (390 s incl. a stall
+        # phase; ~240 s healthy: world build + warm + precompile +
+        # 3 reps + the two CPU baselines)
+        cap.run("e2e", stage_e2e, optional=True, est_s=240)
 
         # ---- bucketed e2e row parity (VERDICT r3 #3) ------------------
         # The recall attestation the probe tables can't give: run the
