@@ -445,9 +445,24 @@ def supervise(argv) -> int:
     if not (os.environ.get("BENCH_FORCE_DEGRADED")
             or os.environ.get("BENCH_CPU")
             or os.environ.get("BENCH_NO_PROBE")):
-        if probed_device_count() == 0:
-            log("supervisor: device init hung or failed; capture will "
-                "run on the CPU fallback")
+        # Retry the probe through brief tunnel hiccups (observed
+        # 2026-08-20: stall windows from seconds to ~40 min) before
+        # surrendering the whole capture to the CPU fallback — a TPU
+        # record 5 minutes late beats a CPU record on time.  Worst
+        # case adds ~4 min before a ~3 min degraded capture, inside
+        # the 900 s budget.
+        retries = int(os.environ.get("BENCH_PROBE_RETRIES", 2))
+        for attempt_p in range(retries + 1):
+            if probed_device_count(None if attempt_p == 0 else 60):
+                break
+            if attempt_p < retries:
+                log(f"supervisor: device probe {attempt_p + 1}/"
+                    f"{retries + 1} failed (tunnel stall?); retrying "
+                    "in 45 s")
+                time.sleep(45)
+        else:
+            log("supervisor: device init hung or failed on every "
+                "probe; capture will run on the CPU fallback")
             forced_cpu = True
 
     # One clock for the whole supervision: resumed/fallback attempts
