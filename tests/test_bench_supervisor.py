@@ -329,3 +329,24 @@ def test_stale_partial_archived_not_destroyed(tmp_path):
     archives = list(tmp_path.glob("bench_details.partial.stale-*.json"))
     assert len(archives) == 1
     assert json.loads(archives[0].read_text()) == planted
+
+
+def test_snapshot_path_versions_instead_of_clobbering(tmp_path, monkeypatch):
+    """A later same-round capture must not overwrite an earlier
+    committed snapshot (the driver's budget-skipped end-of-round run
+    vs the builder's fuller capture) — it versions with a letter."""
+    from fandom_search_tpu import bench
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("BENCH_ROUND", "07")
+    p1 = bench._snapshot_path()
+    assert p1.name == "bench_details_r07.json"
+    p1.write_text("{}")
+    p2 = bench._snapshot_path()
+    assert p2.name == "bench_details_r07b.json"
+    p2.write_text("{}")
+    assert bench._snapshot_path().name == "bench_details_r07c.json"
+    monkeypatch.delenv("BENCH_ROUND")
+    # round inferred from committed driver artifacts: max + 1
+    (tmp_path / "BENCH_r04.json").write_text("{}")
+    assert bench._snapshot_path().name == "bench_details_r05.json"
