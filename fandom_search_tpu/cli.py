@@ -58,6 +58,12 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
                    help="u16 vocab-id compression of the query-stream "
                         "upload (halves wire bytes; wins only on "
                         "bandwidth-bound links — see DESIGN.md §3)")
+    p.add_argument("--sw-variant", default=None, dest="sw_variant",
+                   choices=("fast", "r2", "dyn", "wide", "exitw"),
+                   help="Smith-Waterman kernel variant (default fast; "
+                        "'wide' = transposed full-vreg layout, 'exitw' "
+                        "= wide + threshold early exit — "
+                        "ops/smith_waterman.py)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the jnp fallback instead of Pallas kernels")
     p.add_argument("--interpret", action="store_true",
@@ -164,6 +170,7 @@ def _runtime_overrides(args) -> dict:
         ("batch_queries", "batch_queries"),
         ("lookahead_batches", "lookahead_batches"),
         ("stream_compress", "stream_compress"),
+        ("sw_variant", "sw_variant"),
     ):
         v = getattr(args, attr)
         if v is not None:

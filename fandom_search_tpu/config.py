@@ -114,9 +114,9 @@ class SearchConfig:
     sw_variant: str = "fast"
 
     def __post_init__(self) -> None:
-        if self.sw_variant not in ("fast", "r2", "dyn", "wide"):
+        if self.sw_variant not in ("fast", "r2", "dyn", "wide", "exitw"):
             raise ValueError(
-                f"sw_variant must be one of fast/r2/dyn/wide, got "
+                f"sw_variant must be one of fast/r2/dyn/wide/exitw, got "
                 f"{self.sw_variant!r}"
             )
         # The fused batch path rides candidate counts and positions

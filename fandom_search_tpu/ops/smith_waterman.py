@@ -413,6 +413,7 @@ def _sw_kernel_wide(
     hpp_ref,    # VMEM scratch [LB, TB] f32
     state_ref,  # VMEM scratch [LA+LB, TB] uint32
     best_ref,   # VMEM scratch [LB, TB] f32
+    flag_ref,   # SMEM scratch (1,) int32 — early-exit continue flag
     *,
     la: int,
     lb: int,
@@ -420,6 +421,8 @@ def _sw_kernel_wide(
     mismatch: float,
     gap: float,
     unroll: int,
+    thr: float | None,
+    check_every: int,
 ):
     """variant="wide" (round-5): the SAME wavefront as variant="fast",
     transposed — batch along LANES, script position j along SUBLANES.
@@ -434,6 +437,27 @@ def _sw_kernel_wide(
     but paid a per-step concat of two diagonal buffers; the transpose
     needs no concat — one layout change, zero extra per-step ops.
     Device A/B: scripts/sw_ab.py.
+
+    ``thr`` (variant="exitw"): threshold-aware early exit (VERDICT
+    r2/r3/r4 ask — the measured companion to the module doc's
+    analytical negative (g)).  Every ``check_every`` fori iterations,
+    a per-row future-score bound decides whether ANY row can still
+    matter, and a SMEM flag kills the remaining wavefront if not.
+    The bound, with R = remaining diagonals after this iteration:
+
+        future_r <= max( maxH_frontier_r + match*R,   # extend a run
+                         match * min(len_a, len_b, R) )  # fresh run
+
+    (each additional diagonal adds at most one matched cell to any
+    path, and a run born after this point has at most min(la, lb, R)
+    cells).  A row is dead when future_r < thr*denom_r (it can never
+    cross the keep threshold) OR future_r <= best_r (its score is
+    final).  Rows already >= thr therefore stay EXACT — the engine
+    reports kept rows' scores, so the exit must not clip them —
+    while sub-threshold rows may report any value below thr
+    (thresholded semantics: the kept SET and kept SCORES match the
+    exact kernel bit-for-bit; dropped rows differ only in the
+    discarded residue).  Padded rows (len 0) are statically dead.
     """
     tb = b_ref.shape[1]
     w = la + lb
@@ -459,6 +483,8 @@ def _sw_kernel_wide(
         hprev_ref[:] = jnp.zeros((lb, tb), jnp.float32)
         hpp_ref[:] = jnp.zeros((lb, tb), jnp.float32)
         best_ref[:] = jnp.zeros((lb, tb), jnp.float32)
+        if thr is not None:
+            flag_ref[0] = jnp.int32(1)
 
         def one_diag(d, prev_ref, pp_ref):
             h_prev = prev_ref[:]
@@ -495,9 +521,47 @@ def _sw_kernel_wide(
         static_iters = -(-(la + lb - 1) // unroll)
         needed = jnp.max(len_a + len_b) - 1
 
-        def step_u(it, _):
-            pl.when(it * unroll < needed)(lambda: diags(it))
-            return 0
+        if thr is None:
+            def step_u(it, _):
+                pl.when(it * unroll < needed)(lambda: diags(it))
+                return 0
+        else:
+            minlen = jnp.minimum(len_a, len_b).astype(jnp.float32)
+            bar = jnp.float32(thr) * jnp.float32(match) * jnp.maximum(
+                minlen, 1.0
+            )
+            pad_dead = minlen <= 0.0
+
+            def step_u(it, _):
+                live = flag_ref[0] == 1
+                pl.when(jnp.logical_and(it * unroll < needed, live))(
+                    lambda: diags(it)
+                )
+
+                @pl.when(jnp.logical_and(live, (it + 1) % check_every == 0))
+                def _check():
+                    # diagonals 0 .. (it+1)*unroll - 1 are done; the two
+                    # frontier planes hold H_d and H_{d-1} (role order
+                    # irrelevant — max over both is sound either way)
+                    rem = jnp.maximum(
+                        jnp.int32(w - 1) - (it + 1) * unroll, 0
+                    ).astype(jnp.float32)
+                    maxh = jnp.max(
+                        jnp.maximum(hprev_ref[:], hpp_ref[:]),
+                        axis=0, keepdims=True,
+                    )                                        # [1, TB]
+                    bestr = jnp.max(best_ref[:], axis=0, keepdims=True)
+                    fut = jnp.maximum(
+                        maxh + jnp.float32(match) * rem,
+                        jnp.float32(match) * jnp.minimum(minlen, rem),
+                    )
+                    dead = jnp.logical_or(fut < bar, fut <= bestr)
+                    dead = jnp.logical_or(dead, pad_dead)
+                    flag_ref[0] = jnp.logical_not(
+                        jnp.all(dead)
+                    ).astype(jnp.int32)
+
+                return 0
 
         jax.lax.fori_loop(0, static_iters, step_u, 0)
         denom = match * jnp.maximum(
@@ -510,27 +574,29 @@ def _sw_kernel_wide(
     jax.jit,
     static_argnames=(
         "match", "mismatch", "gap", "tile_b", "interpret", "unroll",
-        "state", "variant",
+        "state", "variant", "thr", "check_every",
     ),
 )
 def _sw_pallas_call(
     a, b, len_a, len_b, *, match, mismatch, gap, tile_b, interpret,
-    unroll=2, state="f32", variant="fast",
+    unroll=2, state="f32", variant="fast", thr=None, check_every=8,
 ):
     bsz, la = a.shape
     lb = b.shape[1]
-    if variant not in ("fast", "r2", "dyn", "wide"):
+    if variant not in ("fast", "r2", "dyn", "wide", "exitw"):
         raise ValueError(
-            f"variant must be 'fast', 'r2', 'dyn' or 'wide', got "
-            f"{variant!r}"
+            f"variant must be 'fast', 'r2', 'dyn', 'wide' or 'exitw', "
+            f"got {variant!r}"
         )
-    if variant == "wide":
+    if variant in ("wide", "exitw"):
         if state != "f32":
             raise ValueError("variant='wide' supports only state='f32'")
         if unroll % 2:
             raise ValueError(
                 f"unroll must be even for variant='wide', got {unroll}"
             )
+        if variant == "exitw" and thr is None:
+            raise ValueError("variant='exitw' needs a threshold")
         # transposed operands: batch -> lanes, j -> sublanes (the
         # one-time transposes are XLA ops outside the wavefront)
         a_ext_t = jnp.concatenate(
@@ -539,6 +605,8 @@ def _sw_pallas_call(
         kernel = functools.partial(
             _sw_kernel_wide, la=la, lb=lb, match=match,
             mismatch=mismatch, gap=gap, unroll=unroll,
+            thr=thr if variant == "exitw" else None,
+            check_every=check_every,
         )
         out = pl.pallas_call(
             kernel,
@@ -556,6 +624,7 @@ def _sw_pallas_call(
                 pltpu.VMEM((lb, tile_b), jnp.float32),
                 pltpu.VMEM((la + lb, tile_b), jnp.uint32),
                 pltpu.VMEM((lb, tile_b), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
             ],
             cost_estimate=pl.CostEstimate(
                 flops=10 * bsz * la * lb,
@@ -645,7 +714,11 @@ def sw_normalized_pallas(
     two interleaved sessions); "r2" = the round-2 copy-based kernel
     with the static trip count, kept as the A/B control; "dyn" = r2
     body with a real dynamic fori_loop bound, measured slower than
-    fast everywhere (module doc, rejected restructuring (f))."""
+    fast everywhere (module doc, rejected restructuring (f));
+    "wide" = transposed layout, batch on lanes (round 5, full-vreg
+    packing at lb=64); "exitw" = wide + threshold-aware early exit
+    (thresholded semantics: kept set + kept scores exact, dropped
+    rows' residue scores may differ — see _sw_kernel_wide doc)."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     len_a = jnp.asarray(len_a, jnp.int32).reshape(-1, 1)
@@ -664,5 +737,6 @@ def sw_normalized_pallas(
         match=cfg.sw_match, mismatch=cfg.sw_mismatch, gap=cfg.sw_gap,
         tile_b=tile_b, interpret=interpret, unroll=unroll, state=state,
         variant=variant,
+        thr=cfg.verify_threshold if variant == "exitw" else None,
     )
     return out[:bsz, 0]

@@ -60,7 +60,8 @@ def main():
         "real": (la_real, lb_real),
         "mixed": (la_mixed, lb_mixed),
     }
-    variants = ["fast", "r2", "wide"]  # r5: "wide" = transposed layout
+    # r5: "wide" = transposed layout; "exitw" = wide + threshold exit
+    variants = ["fast", "r2", "wide", "exitw"]
     if "dyn" in sys.argv:
         variants.append("dyn")
 
@@ -70,11 +71,25 @@ def main():
     def sync(o):
         return np.asarray(jnp.sum(o))
 
-    # correctness cross-check + warm
+    # correctness cross-check + warm.  exitw has thresholded semantics:
+    # kept set + kept scores exact, sub-threshold residue may differ.
+    thr = cfg.verify_threshold
     for name, (la, lb) in regimes.items():
         outs = [np.asarray(run(v, la, lb)) for v in variants]
         for o, v in zip(outs[1:], variants[1:]):
-            assert np.array_equal(outs[0], o), f"variant mismatch ({name}:{v})"
+            if v == "exitw":
+                keep0, keep = outs[0] >= thr, o >= thr
+                assert np.array_equal(keep0, keep), (
+                    f"exitw kept-set mismatch ({name})"
+                )
+                assert np.array_equal(outs[0][keep0], o[keep]), (
+                    f"exitw kept-score mismatch ({name})"
+                )
+                assert np.all(o[~keep] < thr), f"exitw residue ({name})"
+            else:
+                assert np.array_equal(outs[0], o), (
+                    f"variant mismatch ({name}:{v})"
+                )
     print("variant parity OK across regimes", flush=True)
 
     best = {(n, v): float("inf") for n in regimes for v in variants}

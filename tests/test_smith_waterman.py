@@ -181,3 +181,54 @@ def test_wide_variant_matches_fast_and_numpy(rng):
             a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
             variant="wide", state="i16",
         )
+
+
+def test_exitw_thresholded_semantics(rng):
+    """variant="exitw" (round-5 measured companion to the analytical
+    negative (g)): the early exit may only discard sub-threshold
+    residue.  Contract: the kept SET (score >= verify_threshold) and
+    the kept rows' SCORES are bit-equal to the exact wide kernel;
+    dropped rows must still report scores strictly below threshold."""
+    a, b, len_a, len_b = _make_batch(rng, 96)
+    len_b[:32] = rng.integers(3, 9, size=32)
+    len_a[:32] = rng.integers(5, 15, size=32)
+    len_a[64:] = 0
+    len_b[64:] = 0
+    exact = np.asarray(
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="wide",
+        )
+    )
+    got = np.asarray(
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="exitw",
+        )
+    )
+    thr = CFG.verify_threshold
+    keep_exact = exact >= thr
+    keep_got = got >= thr
+    np.testing.assert_array_equal(keep_got, keep_exact)
+    np.testing.assert_array_equal(got[keep_got], exact[keep_exact])
+    assert np.all(got[~keep_got] < thr)
+
+
+def test_exitw_zero_signal_exits_exact(rng):
+    """A zero-signal batch (disjoint vocabularies, full windows) is the
+    regime where the exit actually fires — every row's future bound
+    falls below thr*denom in the tail.  All scores must stay below
+    threshold and the kept set must stay empty."""
+    bsz = 32
+    a = rng.integers(1, 500, size=(bsz, LA)).astype(np.uint32)
+    b = rng.integers(1000, 2000, size=(bsz, LB)).astype(np.uint32)
+    len_a = np.full(bsz, LA, np.int32)
+    len_b = np.full(bsz, LB, np.int32)
+    got = np.asarray(
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="exitw",
+        )
+    )
+    assert got.shape == (bsz,)
+    assert np.all(got < CFG.verify_threshold)
