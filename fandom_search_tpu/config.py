@@ -111,7 +111,7 @@ class SearchConfig:
     # "wide" = transposed (batch on lanes, full vreg utilization at
     # lb=64); "r2"/"dyn" are A/B controls.  Device A/B decides the
     # default (scripts/sw_ab.py).
-    sw_variant: str = "fast"
+    sw_variant: str = "wide"
 
     def __post_init__(self) -> None:
         if self.sw_variant not in ("fast", "r2", "dyn", "wide", "exitw"):

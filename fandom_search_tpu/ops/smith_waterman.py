@@ -92,6 +92,22 @@ Round-4 notes:
     during ~20 ms RTT phases).  bench.py now times a 20-dispatch
     burst; the "flat across rounds" story was partly the measurement
     floor, not the kernel.
+
+Round-5 device verdict (scripts/sw_ab.py, 5 interleaved rounds,
+2026-08-21, B=8192):
+  * variant="wide" (transposed layout, batch on lanes) is the new
+    DEFAULT: best-of times 10.0/11.8/10.1 ms (full/real/mixed) vs r2
+    12.7/12.6/12.6 and fast 13.7/11.3/11.3 — x1.25-1.27 vs r2,
+    x1.13-1.37 vs fast, a consistent win from full-vreg packing
+    (8 vregs per H-plane instead of 16 half-empty ones).
+  * (h) threshold-aware early exit, MEASURED (variant="exitw" = wide
+    + per-check future-score bound, VERDICT r2/r3/r4 ask): 10.1/10.2/
+    10.4 ms — within +-5% of wide on every regime, i.e. the exit buys
+    NOTHING beyond the dynamic trip bound, exactly as the analytical
+    negative (g) predicted (the provable-dead window is the last
+    ~thr*min(la,lb) diagonals; the flag checks cost what the skipped
+    tail saves).  Kept as an opt-in for thresholded-semantics
+    deployments; "wide" (exact scores) stays the default.
 """
 
 from __future__ import annotations
@@ -704,21 +720,22 @@ def sw_normalized_pallas(
     interpret: bool = False,
     unroll: int = 2,
     state: str = "f32",
-    variant: str = "fast",
+    variant: str = "wide",
 ):
     """Normalized SW scores for a batch of pairs. Pads batch to tile_b.
 
-    ``variant``: "fast" (default) = double-buffered DP state + dynamic
-    trip count via pl.when tail skip — x1.05-1.12 vs r2 on device
-    across all three length regimes (scripts/sw_ab.py 2026-08-19 PM,
-    two interleaved sessions); "r2" = the round-2 copy-based kernel
-    with the static trip count, kept as the A/B control; "dyn" = r2
-    body with a real dynamic fori_loop bound, measured slower than
-    fast everywhere (module doc, rejected restructuring (f));
-    "wide" = transposed layout, batch on lanes (round 5, full-vreg
-    packing at lb=64); "exitw" = wide + threshold-aware early exit
-    (thresholded semantics: kept set + kept scores exact, dropped
-    rows' residue scores may differ — see _sw_kernel_wide doc)."""
+    ``variant``: "wide" (default since round 5) = transposed layout,
+    batch on lanes — full-vreg packing at lb=64, x1.25-1.27 vs r2 and
+    x1.13+ vs fast on device (module doc round-5 verdict); "fast" =
+    round-3 lane-major kernel, double-buffered DP state + dynamic
+    trip count via pl.when tail skip; "r2" = the round-2 copy-based
+    kernel with the static trip count, kept as the A/B control;
+    "dyn" = r2 body with a real dynamic fori_loop bound, measured
+    slower than fast everywhere (module doc, rejected restructuring
+    (f)); "exitw" = wide + threshold-aware early exit (thresholded
+    semantics: kept set + kept scores exact, dropped rows' residue
+    scores may differ — see _sw_kernel_wide doc; measured == wide,
+    module doc (h))."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     len_a = jnp.asarray(len_a, jnp.int32).reshape(-1, 1)

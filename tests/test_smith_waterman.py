@@ -110,11 +110,14 @@ def test_i16_state_matches_f32(rng):
     b = rng.integers(1, 40, size=(B, mlt)).astype(np.uint32)
     la = rng.integers(0, w + 1, size=B).astype(np.int32)
     lb = rng.integers(1, mlt + 1, size=B).astype(np.int32)
+    # i16 is a lane-major-kernel path; variant="wide" rejects it
     f = np.asarray(
-        sw_normalized_pallas(a, b, la, lb, cfg, interpret=True, state="f32")
+        sw_normalized_pallas(a, b, la, lb, cfg, interpret=True,
+                             state="f32", variant="fast")
     )
     i = np.asarray(
-        sw_normalized_pallas(a, b, la, lb, cfg, interpret=True, state="i16")
+        sw_normalized_pallas(a, b, la, lb, cfg, interpret=True,
+                             state="i16", variant="fast")
     )
     np.testing.assert_array_equal(f, i)
 
