@@ -22,10 +22,13 @@ Modes:
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fandom_search_tpu.config import PipelineConfig
 from fandom_search_tpu.data.shingler import embed_shingles_np, shingle_hashes
