@@ -59,7 +59,7 @@ def _add_search_flags(p: argparse.ArgumentParser) -> None:
                         "upload (halves wire bytes; wins only on "
                         "bandwidth-bound links — see DESIGN.md §3)")
     p.add_argument("--sw-variant", default=None, dest="sw_variant",
-                   choices=("fast", "r2", "dyn", "wide", "exitw"),
+                   choices=("fast", "r2", "dyn", "wide", "exitw", "slide"),
                    help="Smith-Waterman kernel variant (default fast; "
                         "'wide' = transposed full-vreg layout, 'exitw' "
                         "= wide + threshold early exit — "

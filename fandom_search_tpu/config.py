@@ -114,10 +114,12 @@ class SearchConfig:
     sw_variant: str = "wide"
 
     def __post_init__(self) -> None:
-        if self.sw_variant not in ("fast", "r2", "dyn", "wide", "exitw"):
+        if self.sw_variant not in (
+            "fast", "r2", "dyn", "wide", "exitw", "slide"
+        ):
             raise ValueError(
-                f"sw_variant must be one of fast/r2/dyn/wide/exitw, got "
-                f"{self.sw_variant!r}"
+                f"sw_variant must be one of fast/r2/dyn/wide/exitw/"
+                f"slide, got {self.sw_variant!r}"
             )
         # The fused batch path rides candidate counts and positions
         # through f32 (exact integers only below 2^24): the raw

@@ -439,6 +439,7 @@ def _sw_kernel_wide(
     unroll: int,
     thr: float | None,
     check_every: int,
+    slide: bool = False,
 ):
     """variant="wide" (round-5): the SAME wavefront as variant="fast",
     transposed — batch along LANES, script position j along SUBLANES.
@@ -474,6 +475,21 @@ def _sw_kernel_wide(
     (thresholded semantics: the kept SET and kept SCORES match the
     exact kernel bit-for-bit; dropped rows differ only in the
     discarded residue).  Padded rows (len 0) are statically dead.
+
+    ``slide`` (variant="slide", round-5 experiment): instead of
+    maintaining a circularly ROLLING copy of reverse(a) (one
+    [LA+LB, TB] roll + full-buffer rewrite per diagonal — 2×64 KB of
+    VMEM traffic per step at the engine shape), the anti-diagonal
+    slice is READ directly from a statically-padded buffer at a
+    dynamic sublane offset:
+
+        a_big = [zeros(LB); reverse(a); zeros(LB)]       # height LA+2LB
+        a_diag(d) = a_big[LA+LB-1-d : LA+2LB-1-d]        # [LB, TB]
+
+    Sublane-dynamic slicing is exactly what Mosaic allows that
+    LANE-dynamic indexing (the reason the roll exists in the
+    lane-major kernel) does not — the transposed layout makes the
+    roll deletable for free.  Device A/B: scripts/sw_ab.py.
     """
     tb = b_ref.shape[1]
     w = la + lb
@@ -493,9 +509,10 @@ def _sw_kernel_wide(
 
     @pl.when(jnp.any(len_a > 0))
     def _run():
-        state_ref[:] = pltpu.roll(
-            a_ext_ref[:], shift=(w - (la - 1)) % w, axis=0
-        )
+        if not slide:
+            state_ref[:] = pltpu.roll(
+                a_ext_ref[:], shift=(w - (la - 1)) % w, axis=0
+            )
         hprev_ref[:] = jnp.zeros((lb, tb), jnp.float32)
         hpp_ref[:] = jnp.zeros((lb, tb), jnp.float32)
         best_ref[:] = jnp.zeros((lb, tb), jnp.float32)
@@ -504,8 +521,16 @@ def _sw_kernel_wide(
 
         def one_diag(d, prev_ref, pp_ref):
             h_prev = prev_ref[:]
-            state = state_ref[:]
-            a_diag = state[:lb, :]
+            if slide:
+                # a_ext_ref is the a_big buffer; read the diagonal
+                # slice at a dynamic sublane offset instead of rolling
+                start = jnp.int32(la + lb - 1) - jnp.asarray(
+                    d, jnp.int32
+                )
+                a_diag = a_ext_ref[pl.ds(start, lb), :]
+            else:
+                state = state_ref[:]
+                a_diag = state[:lb, :]
             # single unsigned compare folds (i >= 0) & (i < len_a):
             # negative i wraps to a huge uint32
             i_u = (jnp.asarray(d, jnp.int32) - j_ids).astype(jnp.uint32)
@@ -524,7 +549,8 @@ def _sw_kernel_wide(
             h = jnp.where(valid, h, 0.0)
             best_ref[:] = jnp.maximum(best_ref[:], h)
             pp_ref[:] = h
-            state_ref[:] = pltpu.roll(state, shift=1, axis=0)
+            if not slide:
+                state_ref[:] = pltpu.roll(state, shift=1, axis=0)
 
         def diags(it):
             for u in range(unroll):
@@ -599,12 +625,12 @@ def _sw_pallas_call(
 ):
     bsz, la = a.shape
     lb = b.shape[1]
-    if variant not in ("fast", "r2", "dyn", "wide", "exitw"):
+    if variant not in ("fast", "r2", "dyn", "wide", "exitw", "slide"):
         raise ValueError(
-            f"variant must be 'fast', 'r2', 'dyn', 'wide' or 'exitw', "
-            f"got {variant!r}"
+            f"variant must be 'fast', 'r2', 'dyn', 'wide', 'exitw' or "
+            f"'slide', got {variant!r}"
         )
-    if variant in ("wide", "exitw"):
+    if variant in ("wide", "exitw", "slide"):
         if state != "f32":
             raise ValueError("variant='wide' supports only state='f32'")
         if unroll % 2:
@@ -613,35 +639,51 @@ def _sw_pallas_call(
             )
         if variant == "exitw" and thr is None:
             raise ValueError("variant='exitw' needs a threshold")
+        slide = variant == "slide"
         # transposed operands: batch -> lanes, j -> sublanes (the
         # one-time transposes are XLA ops outside the wavefront)
-        a_ext_t = jnp.concatenate(
-            [a[:, ::-1], jnp.zeros((bsz, lb), a.dtype)], axis=1
-        ).T                                            # [LA+LB, B]
+        if slide:
+            # [zeros(LB); reverse(a); zeros(LB)]: the kernel reads the
+            # anti-diagonal slice at dynamic sublane offset
+            # la+lb-1-d, in-range for every phantom tail diagonal
+            a_ext_t = jnp.concatenate(
+                [
+                    jnp.zeros((bsz, lb), a.dtype),
+                    a[:, ::-1],
+                    jnp.zeros((bsz, lb), a.dtype),
+                ], axis=1,
+            ).T                                        # [LA+2LB, B]
+        else:
+            a_ext_t = jnp.concatenate(
+                [a[:, ::-1], jnp.zeros((bsz, lb), a.dtype)], axis=1
+            ).T                                        # [LA+LB, B]
+        a_rows = a_ext_t.shape[0]
         kernel = functools.partial(
             _sw_kernel_wide, la=la, lb=lb, match=match,
             mismatch=mismatch, gap=gap, unroll=unroll,
             thr=thr if variant == "exitw" else None,
-            check_every=check_every,
+            check_every=check_every, slide=slide,
         )
+        scratch = [
+            pltpu.VMEM((lb, tile_b), jnp.float32),
+            pltpu.VMEM((lb, tile_b), jnp.float32),
+            # the rolling-state scratch exists only for the roll path
+            pltpu.VMEM((1 if slide else la + lb, tile_b), jnp.uint32),
+            pltpu.VMEM((lb, tile_b), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ]
         out = pl.pallas_call(
             kernel,
             grid=(bsz // tile_b,),
             in_specs=[
-                pl.BlockSpec((la + lb, tile_b), lambda i: (0, i)),
+                pl.BlockSpec((a_rows, tile_b), lambda i: (0, i)),
                 pl.BlockSpec((lb, tile_b), lambda i: (0, i)),
                 pl.BlockSpec((1, tile_b), lambda i: (0, i)),
                 pl.BlockSpec((1, tile_b), lambda i: (0, i)),
             ],
             out_specs=pl.BlockSpec((1, tile_b), lambda i: (0, i)),
             out_shape=jax.ShapeDtypeStruct((1, bsz), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((lb, tile_b), jnp.float32),
-                pltpu.VMEM((lb, tile_b), jnp.float32),
-                pltpu.VMEM((la + lb, tile_b), jnp.uint32),
-                pltpu.VMEM((lb, tile_b), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
+            scratch_shapes=scratch,
             cost_estimate=pl.CostEstimate(
                 flops=10 * bsz * la * lb,
                 bytes_accessed=bsz * (la + lb) * 4,

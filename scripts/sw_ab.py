@@ -60,8 +60,11 @@ def main():
         "real": (la_real, lb_real),
         "mixed": (la_mixed, lb_mixed),
     }
-    # r5: "wide" = transposed layout; "exitw" = wide + threshold exit
-    variants = ["fast", "r2", "wide", "exitw"]
+    # r5: "wide" = transposed layout; "exitw" = wide + threshold exit;
+    # "slide" = wide with the state roll replaced by a dynamic
+    # sublane-offset read (the compile itself is part of the A/B —
+    # sublane-dynamic slicing is the unproven lowering here)
+    variants = ["fast", "r2", "wide", "exitw", "slide"]
     if "dyn" in sys.argv:
         variants.append("dyn")
 

@@ -235,3 +235,30 @@ def test_exitw_zero_signal_exits_exact(rng):
     )
     assert got.shape == (bsz,)
     assert np.all(got < CFG.verify_threshold)
+
+
+def test_slide_variant_matches_wide(rng):
+    """variant="slide" (round-5: dynamic sublane-offset a-diagonal read
+    instead of the rolling state buffer) must be bit-equal to "wide"
+    on ragged batches including all-padding tiles."""
+    a, b, len_a, len_b = _make_batch(rng, 96)
+    len_b[:32] = rng.integers(3, 9, size=32)
+    len_a[:32] = rng.integers(5, 15, size=32)
+    len_a[40], len_b[40] = a.shape[1], b.shape[1]
+    len_a[64:] = 0
+    len_b[64:] = 0
+    want = _np_scores(a, b, len_a, len_b)
+    got_wide = np.asarray(
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="wide",
+        )
+    )
+    got_slide = np.asarray(
+        sw_normalized_pallas(
+            a, b, len_a, len_b, CFG, tile_b=32, interpret=True,
+            variant="slide",
+        )
+    )
+    np.testing.assert_allclose(got_slide, want, atol=1e-5)
+    np.testing.assert_array_equal(got_slide, got_wide)
