@@ -181,6 +181,48 @@ def _recall_by_score(want_vals, got_vals, dim, k):
     return rec / max(1, w.shape[0])
 
 
+def skew_recall_accounting(
+    evn, ein, got, q_wh, sw_h, *, stride, thr, dim, guarantee_min,
+):
+    """Thresholded + guaranteed-set recall of hybrid triples vs the
+    exact kernel's above-threshold top-k entries, strided sample.
+
+    ``got`` maps query index -> set of (script_idx, rounded score)
+    IDENTITY pairs.  Round-5 correction (VERDICT r4 #4a, diagnosed by
+    scripts/leak_probe.py): the original accounting matched by SCORE
+    MULTISET only — at 2^22 the exact top-k's above-threshold tail
+    carries <=1-match embedding-noise entries, and when one of those
+    ties a guaranteed entry's score exactly (int scores ~448-524 at
+    thr 3.5, dozens of entries per query — collisions are routine),
+    the noise twin consumed the hybrid's score first and the present
+    guaranteed entry was charged as a miss.  All 20 forensic
+    post-mortems at 2^22 english showed the guaranteed (score, si)
+    PRESENT in the hybrid rows; the 0.99965 "guarantee leak" was this
+    accounting artifact, not a recall loss.  Matching on (si, score)
+    identity removes the aliasing; score is a pure function of
+    (query, si), so this is strictly more exact.
+    """
+    tot = hit = g_tot = g_hit = 0
+    for i in range(0, evn.shape[0], stride):
+        keepm = evn[i] >= thr
+        if not keepm.any():
+            continue
+        have = got.get(i, set())
+        for v, si in zip(
+            np.round(evn[i][keepm] * dim), ein[i][keepm]
+        ):
+            guaranteed = (
+                guarantee_min is not None
+                and int((q_wh[i] == sw_h[si]).sum()) >= guarantee_min
+            )
+            tot += 1
+            g_tot += guaranteed
+            if (int(si), int(v)) in have:
+                hit += 1
+                g_hit += guaranteed
+    return tot, hit, g_tot, g_hit
+
+
 def make_e2e_world(rng, n_works: int):
     """The canonical e2e benchmark workload, shared with
     scripts/e2e_probe.py so the probe always measures the same shape
@@ -1236,26 +1278,13 @@ def run_capture(argv) -> int:
             np.asarray(hsc)[:hcnt_i],
         ):
             if q >= 0:
-                got.setdefault(int(q), []).append(round(float(v) * dim))
-        tot = hit = g_tot = g_hit = 0
-        for i in range(0, nq_c, 17):
-            keepm = evn[i] >= thr
-            if not keepm.any():
-                continue
-            have = got.get(i, [])
-            for v, si in zip(
-                np.round(evn[i][keepm] * dim), ein[i][keepm]
-            ):
-                guaranteed = (
-                    guarantee_min is not None
-                    and int((q_wh[i] == sw_h[si]).sum()) >= guarantee_min
+                got.setdefault(int(q), set()).add(
+                    (int(s), round(float(v) * dim))
                 )
-                tot += 1
-                g_tot += guaranteed
-                if v in have:
-                    have.remove(v)
-                    hit += 1
-                    g_hit += guaranteed
+        tot, hit, g_tot, g_hit = skew_recall_accounting(
+            evn, ein, got, q_wh, sw_h, stride=17, thr=thr, dim=dim,
+            guarantee_min=guarantee_min,
+        )
         d.update({
             f"{tag}_ns": ns_c,
             f"{tag}_risk_frac": rc_n / max(1, nq_c),

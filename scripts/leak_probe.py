@@ -178,20 +178,30 @@ def mode_leak(log2_ns=22, log2_nq=17):
     off = np.asarray(bidx.offsets)
     ent = np.asarray(bidx.entries)
 
-    tot = g_tot = g_miss = 0
-    # FULL sweep (the bench samples stride 17; forensics wants all)
+    tot = g_tot = g_miss = g_alias = 0
+    # FULL sweep (the bench samples stride 17; forensics wants all).
+    # TWO accountings, compared: the pre-r5 SCORE-MULTISET form (the
+    # one that recorded the 0.99965 "leak") and the corrected
+    # (si, score) IDENTITY form — post-mortems fire only on identity
+    # misses, i.e. guaranteed entries the hybrid truly did not return.
     for i in range(nq_c):
         keepm = evn[i] >= thr
         if not keepm.any():
             continue
-        have = [v for (v, _s) in got.get(i, [])]
+        rows = got.get(i, [])
+        have = [v for (v, _s) in rows]
+        ids = {(int(s), int(v)) for (v, s) in rows}
         for v, si in zip(np.round(evn[i][keepm] * dim), ein[i][keepm]):
             nmatch = int((q_wh[i] == sw_h[si]).sum())
             guaranteed = nmatch >= 2
             tot += 1
             g_tot += guaranteed
-            if v in have:
+            score_hit = v in have
+            if score_hit:
                 have.remove(v)
+            if (int(si), int(v)) in ids:
+                if guaranteed and not score_hit:
+                    g_alias += 1  # present, but the multiset missed it
                 continue
             if not guaranteed:
                 continue
@@ -221,9 +231,13 @@ def mode_leak(log2_ns=22, log2_nq=17):
                 break
         if g_miss >= 20:
             break
-    print(f"\ntotals: {tot} exact entries, {g_tot} guaranteed, "
-          f"{g_miss} guaranteed missed "
-          f"(guaranteed recall {(g_tot-g_miss)/max(1,g_tot):.6f})")
+    print(f"\ntotals: {tot} exact entries, {g_tot} guaranteed")
+    print(f"  identity accounting  : {g_miss} guaranteed TRULY missing "
+          f"-> guaranteed recall {(g_tot-g_miss)/max(1,g_tot):.6f}")
+    print(f"  score-multiset (pre-r5 artifact form): "
+          f"{g_miss + g_alias} 'missed' "
+          f"-> {(g_tot-g_miss-g_alias)/max(1,g_tot):.6f} "
+          f"({g_alias} present-but-score-aliased)")
 
 
 if __name__ == "__main__":

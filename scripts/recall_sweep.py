@@ -145,29 +145,21 @@ def main():
                 best_h = min(best_h, time.perf_counter() - t0)
 
             hcnt_i = int(np.asarray(hcnt))
+            # identity (si, score) accounting — the round-5 corrected
+            # form (fandom_search_tpu.bench.skew_recall_accounting doc)
+            from fandom_search_tpu.bench import skew_recall_accounting
             got = {}
             for q, s, v in zip(np.asarray(hqp)[:hcnt_i],
                                np.asarray(hsi)[:hcnt_i],
                                np.asarray(hsc)[:hcnt_i]):
                 if q >= 0:
-                    got.setdefault(int(q), []).append(
-                        round(float(v) * dim))
+                    got.setdefault(int(q), set()).add(
+                        (int(s), round(float(v) * dim)))
             gmin = 2 if pairs_mode == "all" else 3
-            tot = hit = g_tot = g_hit = 0
-            for i in range(0, nq_c, 17):
-                keepm = evn[i] >= thr
-                if not keepm.any():
-                    continue
-                have = got.get(i, [])
-                for v, si in zip(np.round(evn[i][keepm] * dim),
-                                 ein[i][keepm]):
-                    guaranteed = int((q_wh[i] == sw_h[si]).sum()) >= gmin
-                    tot += 1
-                    g_tot += guaranteed
-                    if v in have:
-                        have.remove(v)
-                        hit += 1
-                        g_hit += guaranteed
+            tot, hit, g_tot, g_hit = skew_recall_accounting(
+                evn, ein, got, q_wh, sw_h, stride=17, thr=thr,
+                dim=dim, guarantee_min=gmin,
+            )
             print(
                 f"[{kind}] pairs={pairs_mode:9s} cap={cap:2d} load={load} "
                 f"| build {build_s:5.1f}s overflow "

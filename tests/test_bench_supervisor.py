@@ -350,3 +350,35 @@ def test_snapshot_path_versions_instead_of_clobbering(tmp_path, monkeypatch):
     # round inferred from committed driver artifacts: max + 1
     (tmp_path / "BENCH_r04.json").write_text("{}")
     assert bench._snapshot_path().name == "bench_details_r05.json"
+
+
+def test_skew_recall_accounting_is_identity_not_score_multiset():
+    """VERDICT r4 #4a regression: a guaranteed entry whose score ties
+    a <=1-match noise entry in the exact top-k must NOT be charged as
+    a miss when the hybrid returned it (the pre-r5 score-multiset
+    accounting recorded exactly that as the 0.99965 'guarantee leak'
+    at 2^22 — all 20 forensic post-mortems showed the entry present)."""
+    import numpy as np
+
+    from fandom_search_tpu.bench import skew_recall_accounting
+
+    dim, thr, n = 128, 3.5, 6
+    # one query; exact top-k: guaranteed si=5 at 448/128, noise twin
+    # si=9 at the SAME 448/128 score, plus si=7 at 472/128
+    evn = np.array([[472 / dim, 448 / dim, 448 / dim]], np.float32)
+    ein = np.array([[7, 9, 5]], np.int32)  # noise twin ranked first
+    # hybrid returned the guaranteed si=5 (and si=7), NOT the noise 9
+    got = {0: {(5, 448), (7, 472)}}
+    q_wh = np.zeros((1, n), np.uint32)
+    sw_h = np.zeros((10, n), np.uint32)
+    q_wh[0] = [1, 2, 3, 4, 5, 6]
+    sw_h[5] = [1, 2, 99, 98, 97, 96]   # shares 2 positions: guaranteed
+    sw_h[7] = [1, 2, 3, 90, 91, 92]    # shares 3: guaranteed
+    sw_h[9] = [1, 80, 81, 82, 83, 84]  # shares 1: embedding noise
+    tot, hit, g_tot, g_hit = skew_recall_accounting(
+        evn, ein, got, q_wh, sw_h, stride=1, thr=thr, dim=dim,
+        guarantee_min=2,
+    )
+    assert (tot, g_tot) == (3, 2)
+    assert g_hit == 2, "guaranteed entry aliased away by a score tie"
+    assert hit == 2  # the absent noise twin is the only miss
