@@ -108,6 +108,16 @@ Round-5 device verdict (scripts/sw_ab.py, 5 interleaved rounds,
     ~thr*min(la,lb) diagonals; the flag checks cost what the skipped
     tail saves).  Kept as an opt-in for thresholded-semantics
     deployments; "wide" (exact scores) stays the default.
+  * (i) variant="slide" (state roll -> dynamic sublane-offset
+    diagonal read): COMPILES on this toolchain (sublane-dynamic
+    slicing lowers where lane-dynamic indexing does not) and measures
+    a wash vs wide — 9.2/9.8/10.1 ms (full/real/mixed) vs wide's
+    9.4/9.9/9.7 in the same 5-round interleaved session (second
+    session: wide 10.0/11.8/10.1).  The deleted 2x64 KB/step of roll
+    traffic is NOT the limiter — the serialized wavefront's per-step
+    latency is — so the default stays "wide"; slide is kept for
+    VMEM-pressure situations (it drops the [LA+LB, TB] state scratch
+    entirely).
 """
 
 from __future__ import annotations

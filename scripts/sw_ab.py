@@ -121,10 +121,11 @@ def main():
             for v in variants
         ))
 
-    # i16 re-attempt (expected to fail compile on v5e — see module doc)
+    # i16 re-attempt (expected to fail compile on v5e — see module doc;
+    # it is a lane-major path, so pin variant="fast")
     try:
         sync(sw_normalized_pallas(
-            a, b, la_full, lb_full, cfg, state="i16"
+            a, b, la_full, lb_full, cfg, state="i16", variant="fast"
         ))
         print("i16 state COMPILED on this toolchain — re-A/B it!")
     except Exception as e:  # noqa: BLE001
