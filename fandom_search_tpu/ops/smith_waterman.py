@@ -93,31 +93,45 @@ Round-4 notes:
     burst; the "flat across rounds" story was partly the measurement
     floor, not the kernel.
 
-Round-5 device verdict (scripts/sw_ab.py, 5 interleaved rounds,
-2026-08-21, B=8192):
-  * variant="wide" (transposed layout, batch on lanes) is the new
-    DEFAULT: best-of times 10.0/11.8/10.1 ms (full/real/mixed) vs r2
-    12.7/12.6/12.6 and fast 13.7/11.3/11.3 — x1.25-1.27 vs r2,
-    x1.13-1.37 vs fast, a consistent win from full-vreg packing
-    (8 vregs per H-plane instead of 16 half-empty ones).
+Round-5 device verdict (two measurement bases, 2026-08-21, B=8192 —
+the short-burst scripts/sw_ab.py basis COMPRESSES kernel ratios under
+per-call overhead; the bench's 20-dispatch burst basis is the honest
+one and decided the default):
+  * variant="wide" is the new DEFAULT.  Burst-basis interleaved A/B
+    (20 dispatches/sync, best of 6 rounds):
+      - full tiles:  fast 4.58 ms (7.33 G cells/s) | wide 2.72
+        (12.33 G) | slide 2.58 (13.01 G) — wide x1.68 vs fast, the
+        VERDICT r4 #6 ">=1.5x" target met and the bench-shape record
+        moves 7.1 -> 12.3 G cells/s (13.0 with slide);
+      - sorted-real (the ENGINE regime — the engine length-sorts its
+        verify batches): fast 3.33 | wide 3.36 | slide 3.17 ms —
+        slide best by ~5%;
+      - mixed: wide x1.09 vs fast.
+    The transposed layout's full-vreg packing (8 vregs per H-plane
+    instead of 16 half-empty) pays on long wavefronts; deleting the
+    state roll (slide) stacks another ~5% and drops the [LA+LB, TB]
+    scratch.  On UNSORTED short-line batches fast still wins (x1.32
+    over wide) — per-dispatch operand transposes amortize poorly over
+    short trip counts — but the engine never runs that shape.
+    Why slide is NOT the default despite winning every regime it
+    compiles in: the AOT (chipless) compiler used for sharded /
+    multi-topology compilation rejects its dynamic sublane load
+    ("cannot statically prove that index in dimension 0 is a
+    multiple of 8") even though the in-session JIT compiler accepts
+    and runs it — a default must compile on BOTH paths.  slide stays
+    the single-chip opt-in (rejected-as-default disposition (i)).
   * (h) threshold-aware early exit, MEASURED (variant="exitw" = wide
-    + per-check future-score bound, VERDICT r2/r3/r4 ask): 10.1/10.2/
-    10.4 ms — within +-5% of wide on every regime, i.e. the exit buys
-    NOTHING beyond the dynamic trip bound, exactly as the analytical
-    negative (g) predicted (the provable-dead window is the last
-    ~thr*min(la,lb) diagonals; the flag checks cost what the skipped
-    tail saves).  Kept as an opt-in for thresholded-semantics
-    deployments; "wide" (exact scores) stays the default.
-  * (i) variant="slide" (state roll -> dynamic sublane-offset
-    diagonal read): COMPILES on this toolchain (sublane-dynamic
-    slicing lowers where lane-dynamic indexing does not) and measures
-    a wash vs wide — 9.2/9.8/10.1 ms (full/real/mixed) vs wide's
-    9.4/9.9/9.7 in the same 5-round interleaved session (second
-    session: wide 10.0/11.8/10.1).  The deleted 2x64 KB/step of roll
-    traffic is NOT the limiter — the serialized wavefront's per-step
-    latency is — so the default stays "wide"; slide is kept for
-    VMEM-pressure situations (it drops the [LA+LB, TB] state scratch
-    entirely).
+    + per-check future-score bound, VERDICT r2/r3/r4 ask): within
+    +-5% of wide on every regime (short-burst basis 10.1/10.2/10.4 ms
+    vs wide 10.0/11.8/10.1), i.e. the exit buys NOTHING beyond the
+    dynamic trip bound, exactly as the analytical negative (g)
+    predicted (the provable-dead window is the last ~thr*min(la,lb)
+    diagonals; the flag checks cost what the skipped tail saves).
+    Kept as an opt-in for thresholded-semantics deployments.
+  * Short-burst session for the record (5 rounds, 3 calls/sync):
+    wide 10.0/11.8/10.1 ms, slide 9.2/9.8/10.1, fast 13.7/11.3/11.3,
+    r2 12.7/12.6/12.6 (full/real/mixed) — same ordering, compressed
+    ratios.
 """
 
 from __future__ import annotations
@@ -776,18 +790,23 @@ def sw_normalized_pallas(
 ):
     """Normalized SW scores for a batch of pairs. Pads batch to tile_b.
 
-    ``variant``: "wide" (default since round 5) = transposed layout,
-    batch on lanes — full-vreg packing at lb=64, x1.25-1.27 vs r2 and
-    x1.13+ vs fast on device (module doc round-5 verdict); "fast" =
-    round-3 lane-major kernel, double-buffered DP state + dynamic
-    trip count via pl.when tail skip; "r2" = the round-2 copy-based
-    kernel with the static trip count, kept as the A/B control;
-    "dyn" = r2 body with a real dynamic fori_loop bound, measured
-    slower than fast everywhere (module doc, rejected restructuring
-    (f)); "exitw" = wide + threshold-aware early exit (thresholded
-    semantics: kept set + kept scores exact, dropped rows' residue
-    scores may differ — see _sw_kernel_wide doc; measured == wide,
-    module doc (h))."""
+    ``variant``: "wide" (default since round 5) = transposed layout
+    (batch on lanes, full-vreg packing at lb=64) — x1.68 vs fast on
+    full tiles at the burst basis, tied on the engine's sorted-real
+    regime (module doc round-5 verdict); "slide" = wide with the
+    a-diagonal read at a dynamic sublane offset instead of the
+    rolling state buffer — ~5% faster everywhere it compiles, but the
+    AOT/chipless compiler path (sharded compilation) rejects the
+    dynamic sublane load, so it is a single-chip OPT-IN, not the
+    default; "fast" = round-3 lane-major kernel, double-buffered DP
+    state + dynamic trip count via pl.when tail skip; "r2" = the
+    round-2 copy-based kernel with the static trip count, kept as the
+    A/B control; "dyn" = r2 body with a real dynamic fori_loop bound,
+    measured slower than fast everywhere (module doc, rejected
+    restructuring (f)); "exitw" = wide + threshold-aware early exit
+    (thresholded semantics: kept set + kept scores exact, dropped
+    rows' residue scores may differ — see _sw_kernel_wide doc;
+    measured == wide, module doc (h))."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     len_a = jnp.asarray(len_a, jnp.int32).reshape(-1, 1)
