@@ -180,10 +180,22 @@ class ShardedSearchEngine(SearchEngine):
 
         tile_b = 256
 
+        # honor the configured SW variant, except "slide": the sharded
+        # path compiles through the AOT (chipless) compiler, which
+        # rejects slide's dynamic sublane load ("cannot statically
+        # prove that index in dimension 0 is a multiple of 8") even
+        # though the in-session JIT accepts it — coerce to its
+        # bit-identical rolling-state twin (ops/smith_waterman.py
+        # round-5 verdict)
+        sw_variant = (
+            "wide" if xcfg.sw_variant == "slide" else xcfg.sw_variant
+        )
+
         def verify_local(a, b, len_a, len_b):
             if up:
                 return sw_normalized_pallas(
-                    a, b, len_a, len_b, xcfg, tile_b=tile_b, interpret=ip
+                    a, b, len_a, len_b, xcfg, tile_b=tile_b, interpret=ip,
+                    variant=sw_variant,
                 ).reshape(-1, 1)
             return sw_normalized_jnp(a, b, len_a, len_b, xcfg).reshape(-1, 1)
 
