@@ -7,10 +7,13 @@ window against the attributed script line's tokens, entirely on-chip
 (BASELINE.json:9 "wavefront (anti-diagonal) Pallas Smith-Waterman").
 
 Vectorization (SURVEY.md section 8 "Smith-Waterman on a vector machine"):
-one alignment is a tiny awkward DP, so the kernel batches MANY pairs —
-batch across sublanes, script position j across lanes, and the
-anti-diagonal wavefront d = i + j advances in a fori_loop.  Per step,
-for the whole [TB, LB] tile:
+one alignment is a tiny awkward DP, so the kernel batches MANY pairs.
+The original (lane-major) layout puts batch across sublanes and
+script position j across lanes; the round-5 DEFAULT ("wide") is the
+TRANSPOSE — batch across the 128-lane axis, j across sublanes — for
+full vreg packing at lb=64 (see the round-5 verdict below).  Either
+way the anti-diagonal wavefront d = i + j advances in a fori_loop.
+Per step, for the whole tile (lane-major shown):
 
     H_d[j] = max(0, H_{d-2}[j-1] + sub(d-j, j),
                     H_{d-1}[j]   + gap,

@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Interleaved A/B of the SW kernel variants (VERDICT r2 #7).
+"""Interleaved A/B of the SW kernel variants (VERDICT r2 #7, r4 #6).
+
+NOTE (round 5): this script syncs every 3 calls, which carries ~RTT/3
+of per-call tunnel overhead and COMPRESSES kernel ratios; the bench's
+20-dispatch burst basis is the honest one and decided the default
+(ops/smith_waterman.py round-5 verdict).  Keep this script for quick
+parity + ordering checks; trust magnitudes from the burst basis.
 
 Compares variant="fast" (round-3: double-buffered DP state + dynamic
 trip count) against variant="r2" (round-2 copy-based kernel, static
