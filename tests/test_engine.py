@@ -435,3 +435,29 @@ def test_precompile_seen_and_warm_buckets(world):
     attach_bucketed_prefilter(eng3, CFG.bucketed)
     assert eng3.warm_buckets() == 0
     assert not eng3._seen_variants
+
+
+def test_engine_exitw_rows_identical_to_default(world):
+    """The engine contract for variant="exitw" (threshold early exit,
+    round 5): output MatchRows — including reported verify scores —
+    must be IDENTICAL to the exact default variant, because the exit
+    may only corrupt sub-threshold residue the engine drops anyway
+    (ops/smith_waterman.py _sw_kernel_wide doc)."""
+    import dataclasses
+
+    works, planted, index = world
+    eng = SearchEngine(index, CFG, use_pallas=True, interpret=True)
+    rows_default, _ = eng.search_works(works)
+    cfg_exit = dataclasses.replace(
+        CFG, search=dataclasses.replace(CFG.search, sw_variant="exitw")
+    )
+    eng_exit = SearchEngine(index, cfg_exit, use_pallas=True, interpret=True)
+    rows_exit, _ = eng_exit.search_works(works)
+    assert {_row_key(r) for r in rows_exit} == {
+        _row_key(r) for r in rows_default
+    }
+    d = {_row_key(r): (r.score, r.verify_score) for r in rows_default}
+    for r in rows_exit:
+        so, vo = d[_row_key(r)]
+        assert r.score == so
+        assert r.verify_score == vo
