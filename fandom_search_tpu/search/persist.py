@@ -25,7 +25,7 @@ from fandom_search_tpu.config import (
     ShingleConfig,
 )
 from fandom_search_tpu.data.script_parser import ScriptLine
-from fandom_search_tpu.data.tokenizer import Tokenized, tokenize
+from fandom_search_tpu.data.tokenizer import tokenize
 from fandom_search_tpu.search.index import ScriptIndex
 
 _VERSION = 3  # v3: multiply-shift sign embedding (v2 indices must rebuild)

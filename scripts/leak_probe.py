@@ -31,7 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fandom_search_tpu.config import PipelineConfig
-from fandom_search_tpu.data.shingler import embed_shingles_np, shingle_hashes
+from fandom_search_tpu.data.shingler import shingle_hashes
 from fandom_search_tpu.ops.bucketed import (
     BucketedIndex, _bucket_ids, _pairs_for,
 )

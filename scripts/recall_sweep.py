@@ -54,7 +54,7 @@ def main():
     import jax.numpy as jnp
 
     from fandom_search_tpu.ops.bucketed import (
-        BucketedIndex, _pairs_for, drive_hybrid,
+        BucketedIndex, drive_hybrid,
     )
     from fandom_search_tpu.ops.distance_topk import (
         engine_tiles, pad_rows, topk_dot_pallas,

@@ -5,7 +5,7 @@ import dataclasses
 import numpy as np
 import pytest
 
-from fandom_search_tpu.config import PipelineConfig, SearchConfig
+from fandom_search_tpu.config import PipelineConfig
 from fandom_search_tpu.data.script_parser import parse_script
 from fandom_search_tpu.search.engine import SearchEngine
 from fandom_search_tpu.search.index import build_script_index

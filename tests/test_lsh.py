@@ -1,7 +1,6 @@
 import dataclasses
 
 import numpy as np
-import pytest
 
 from fandom_search_tpu.config import LSHConfig, PipelineConfig, ShingleConfig
 from fandom_search_tpu.data.script_parser import parse_script

@@ -1,4 +1,3 @@
-from pathlib import Path
 
 from fandom_search_tpu.scrape.ao3 import (
     ScrapeConfig,
