@@ -109,7 +109,10 @@ one and decided the default):
       - sorted-real (the ENGINE regime — the engine length-sorts its
         verify batches): fast 3.33 | wide 3.36 | slide 3.17 ms —
         slide best by ~5%;
-      - mixed: wide x1.09 vs fast.
+      - mixed: wide x1.09 vs fast (long pair per 256 rows, unsorted);
+        with one long pair per TILE (per-128 rows, the in-repo
+        scripts/sw_burst_ab.py shape) wide reads x1.58 and slide
+        x1.61 vs fast — the r4 ">=1.5x on mixed" ask verbatim.
     The transposed layout's full-vreg packing (8 vregs per H-plane
     instead of 16 half-empty) pays on long wavefronts; deleting the
     state roll (slide) stacks another ~5% and drops the [LA+LB, TB]
