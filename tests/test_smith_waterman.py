@@ -262,3 +262,33 @@ def test_slide_variant_matches_wide(rng):
     )
     np.testing.assert_allclose(got_slide, want, atol=1e-5)
     np.testing.assert_array_equal(got_slide, got_wide)
+
+
+def test_exitw_contract_fuzz_across_thresholds(rng):
+    """The exitw thresholded-semantics contract must hold for ANY
+    threshold (the bar sharpens or loosens the exit window): fuzz
+    verify_threshold and batch content; kept set + kept scores always
+    bit-equal to the exact wide kernel."""
+    import dataclasses
+
+    for thr in (0.15, 0.35, 0.6, 0.9):
+        cfg = dataclasses.replace(CFG, verify_threshold=thr)
+        a, b, len_a, len_b = _make_batch(rng, 64)
+        exact = np.asarray(
+            sw_normalized_pallas(
+                a, b, len_a, len_b, cfg, tile_b=32, interpret=True,
+                variant="wide",
+            )
+        )
+        got = np.asarray(
+            sw_normalized_pallas(
+                a, b, len_a, len_b, cfg, tile_b=32, interpret=True,
+                variant="exitw",
+            )
+        )
+        keep_e, keep_g = exact >= thr, got >= thr
+        assert np.array_equal(keep_g, keep_e), f"kept-set @thr={thr}"
+        assert np.array_equal(got[keep_g], exact[keep_e]), (
+            f"kept-score @thr={thr}"
+        )
+        assert np.all(got[~keep_g] < thr), f"residue @thr={thr}"
